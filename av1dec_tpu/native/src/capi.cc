@@ -1,0 +1,272 @@
+// C API for the Python/ctypes binding.
+//
+// Header-level information (sequence + frame headers, tile layout) is
+// exported as JSON — it is small, cold data and JSON keeps the ABI trivial.
+// Hot data (coefficient plans, mode-info grids) is exported as packed
+// binary buffers (see plans.cc).
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "decoder.h"
+
+using namespace av1;
+
+namespace {
+
+struct Handle {
+  DecoderState st;
+  std::vector<std::string> frame_jsons;  // JSON per completed frame in TU
+  std::string last_error;
+  // tile decode callback state added by entropy layer (plans.cc)
+  int decode_tiles = 0;
+};
+
+void json_kv(std::ostringstream& o, const char* k, long v, bool comma = true) {
+  o << '"' << k << "\":" << v;
+  if (comma) o << ',';
+}
+
+template <typename T>
+void json_arr(std::ostringstream& o, const char* k, const T* v, int n,
+              bool comma = true) {
+  o << '"' << k << "\":[";
+  for (int i = 0; i < n; i++) {
+    if (i) o << ',';
+    o << (long)v[i];
+  }
+  o << ']';
+  if (comma) o << ',';
+}
+
+std::string seq_to_json(const SequenceHeader& s) {
+  std::ostringstream o;
+  o << '{';
+  json_kv(o, "seq_profile", s.seq_profile);
+  json_kv(o, "still_picture", s.still_picture);
+  json_kv(o, "reduced_still_picture_header", s.reduced_still_picture_header);
+  json_kv(o, "max_frame_width", s.max_frame_width);
+  json_kv(o, "max_frame_height", s.max_frame_height);
+  json_kv(o, "frame_id_numbers_present", s.frame_id_numbers_present);
+  json_kv(o, "use_128x128_superblock", s.use_128x128_superblock);
+  json_kv(o, "enable_filter_intra", s.enable_filter_intra);
+  json_kv(o, "enable_intra_edge_filter", s.enable_intra_edge_filter);
+  json_kv(o, "enable_interintra_compound", s.enable_interintra_compound);
+  json_kv(o, "enable_masked_compound", s.enable_masked_compound);
+  json_kv(o, "enable_warped_motion", s.enable_warped_motion);
+  json_kv(o, "enable_dual_filter", s.enable_dual_filter);
+  json_kv(o, "enable_order_hint", s.enable_order_hint);
+  json_kv(o, "enable_jnt_comp", s.enable_jnt_comp);
+  json_kv(o, "enable_ref_frame_mvs", s.enable_ref_frame_mvs);
+  json_kv(o, "seq_force_screen_content_tools",
+          s.seq_force_screen_content_tools);
+  json_kv(o, "seq_force_integer_mv", s.seq_force_integer_mv);
+  json_kv(o, "order_hint_bits", s.order_hint_bits);
+  json_kv(o, "enable_superres", s.enable_superres);
+  json_kv(o, "enable_cdef", s.enable_cdef);
+  json_kv(o, "enable_restoration", s.enable_restoration);
+  json_kv(o, "bit_depth", s.bit_depth);
+  json_kv(o, "mono_chrome", s.mono_chrome);
+  json_kv(o, "subsampling_x", s.subsampling_x);
+  json_kv(o, "subsampling_y", s.subsampling_y);
+  json_kv(o, "separate_uv_delta_q", s.separate_uv_delta_q);
+  json_kv(o, "film_grain_params_present", s.film_grain_params_present);
+  json_kv(o, "color_range", s.color_range);
+  json_kv(o, "matrix_coefficients", s.matrix_coefficients, false);
+  o << '}';
+  return o.str();
+}
+
+std::string frame_to_json(const DecoderState& st) {
+  const FrameHeader& h = st.hdr;
+  std::ostringstream o;
+  o << '{';
+  json_kv(o, "show_existing_frame", h.show_existing_frame);
+  json_kv(o, "frame_to_show_map_idx", h.frame_to_show_map_idx);
+  json_kv(o, "frame_type", h.frame_type);
+  json_kv(o, "show_frame", h.show_frame);
+  json_kv(o, "showable_frame", h.showable_frame);
+  json_kv(o, "error_resilient_mode", h.error_resilient_mode);
+  json_kv(o, "disable_cdf_update", h.disable_cdf_update);
+  json_kv(o, "allow_screen_content_tools", h.allow_screen_content_tools);
+  json_kv(o, "force_integer_mv", h.force_integer_mv);
+  json_kv(o, "order_hint", h.order_hint);
+  json_kv(o, "primary_ref_frame", h.primary_ref_frame);
+  json_kv(o, "refresh_frame_flags", h.refresh_frame_flags);
+  json_kv(o, "allow_intrabc", h.allow_intrabc);
+  json_arr(o, "ref_frame_idx", h.ref_frame_idx, REFS_PER_FRAME);
+  json_kv(o, "allow_high_precision_mv", h.allow_high_precision_mv);
+  json_kv(o, "interpolation_filter", h.interpolation_filter);
+  json_kv(o, "is_motion_mode_switchable", h.is_motion_mode_switchable);
+  json_kv(o, "use_ref_frame_mvs", h.use_ref_frame_mvs);
+  json_kv(o, "disable_frame_end_update_cdf", h.disable_frame_end_update_cdf);
+  json_kv(o, "allow_warped_motion", h.allow_warped_motion);
+  json_kv(o, "reduced_tx_set", h.reduced_tx_set);
+  json_kv(o, "tx_mode", h.tx_mode);
+  json_kv(o, "reference_select", h.reference_select);
+  json_kv(o, "skip_mode_present", h.skip_mode_present);
+  json_kv(o, "frame_width", h.frame_width);
+  json_kv(o, "frame_height", h.frame_height);
+  json_kv(o, "upscaled_width", h.upscaled_width);
+  json_kv(o, "render_width", h.render_width);
+  json_kv(o, "render_height", h.render_height);
+  json_kv(o, "use_superres", h.use_superres);
+  json_kv(o, "superres_denom", h.superres_denom);
+  json_kv(o, "mi_cols", h.mi_cols);
+  json_kv(o, "mi_rows", h.mi_rows);
+  json_kv(o, "coded_lossless", h.coded_lossless);
+  json_kv(o, "all_lossless", h.all_lossless);
+  json_kv(o, "delta_q_present", h.delta_q_present);
+  json_kv(o, "delta_q_res", h.delta_q_res);
+  json_kv(o, "delta_lf_present", h.delta_lf_present);
+  json_kv(o, "delta_lf_res", h.delta_lf_res);
+  json_kv(o, "delta_lf_multi", h.delta_lf_multi);
+
+  o << "\"quant\":{";
+  json_kv(o, "base_q_idx", h.quant.base_q_idx);
+  json_kv(o, "delta_q_y_dc", h.quant.delta_q_y_dc);
+  json_kv(o, "delta_q_u_dc", h.quant.delta_q_u_dc);
+  json_kv(o, "delta_q_u_ac", h.quant.delta_q_u_ac);
+  json_kv(o, "delta_q_v_dc", h.quant.delta_q_v_dc);
+  json_kv(o, "delta_q_v_ac", h.quant.delta_q_v_ac);
+  json_kv(o, "using_qmatrix", h.quant.using_qmatrix);
+  json_kv(o, "qm_y", h.quant.qm_y);
+  json_kv(o, "qm_u", h.quant.qm_u);
+  json_kv(o, "qm_v", h.quant.qm_v, false);
+  o << "},";
+
+  o << "\"lf\":{";
+  json_arr(o, "level", h.lf.level, 4);
+  json_kv(o, "sharpness", h.lf.sharpness);
+  json_kv(o, "delta_enabled", h.lf.delta_enabled);
+  json_arr(o, "ref_deltas", h.lf.ref_deltas, TOTAL_REFS_PER_FRAME);
+  json_arr(o, "mode_deltas", h.lf.mode_deltas, 2, false);
+  o << "},";
+
+  o << "\"seg\":{";
+  json_kv(o, "enabled", h.seg.enabled);
+  json_kv(o, "update_map", h.seg.update_map);
+  json_kv(o, "temporal_update", h.seg.temporal_update);
+  json_kv(o, "seg_id_pre_skip", h.seg.seg_id_pre_skip);
+  json_kv(o, "last_active_seg_id", h.seg.last_active_seg_id);
+  json_arr(o, "feature_enabled", &h.seg.feature_enabled[0][0],
+           MAX_SEGMENTS * SEG_LVL_MAX);
+  json_arr(o, "feature_data", &h.seg.feature_data[0][0],
+           MAX_SEGMENTS * SEG_LVL_MAX, false);
+  o << "},";
+
+  o << "\"cdef\":{";
+  json_kv(o, "damping", h.cdef.damping);
+  json_kv(o, "bits", h.cdef.bits);
+  json_arr(o, "y_pri", h.cdef.y_pri, 8);
+  json_arr(o, "y_sec", h.cdef.y_sec, 8);
+  json_arr(o, "uv_pri", h.cdef.uv_pri, 8);
+  json_arr(o, "uv_sec", h.cdef.uv_sec, 8, false);
+  o << "},";
+
+  o << "\"lr\":{";
+  json_arr(o, "frame_restoration_type", h.lr.frame_restoration_type, 3);
+  json_arr(o, "loop_restoration_size", h.lr.loop_restoration_size, 3, false);
+  o << "},";
+
+  o << "\"tiles\":{";
+  json_kv(o, "cols", h.tiles.tile_cols);
+  json_kv(o, "rows", h.tiles.tile_rows);
+  json_kv(o, "cols_log2", h.tiles.tile_cols_log2);
+  json_kv(o, "rows_log2", h.tiles.tile_rows_log2);
+  json_kv(o, "context_update_tile_id", h.tiles.context_update_tile_id);
+  json_arr(o, "mi_col_starts", h.tiles.mi_col_starts, h.tiles.tile_cols + 1);
+  json_arr(o, "mi_row_starts", h.tiles.mi_row_starts, h.tiles.tile_rows + 1,
+           false);
+  o << "},";
+
+  o << "\"grain\":{";
+  json_kv(o, "apply_grain", h.grain.apply_grain);
+  json_kv(o, "grain_seed", h.grain.grain_seed);
+  json_kv(o, "update_grain", h.grain.update_grain);
+  json_kv(o, "num_y_points", h.grain.num_y_points);
+  json_arr(o, "point_y_value", h.grain.point_y_value, 14);
+  json_arr(o, "point_y_scaling", h.grain.point_y_scaling, 14);
+  json_kv(o, "chroma_scaling_from_luma", h.grain.chroma_scaling_from_luma);
+  json_kv(o, "num_cb_points", h.grain.num_cb_points);
+  json_kv(o, "num_cr_points", h.grain.num_cr_points);
+  json_arr(o, "point_cb_value", h.grain.point_cb_value, 10);
+  json_arr(o, "point_cb_scaling", h.grain.point_cb_scaling, 10);
+  json_arr(o, "point_cr_value", h.grain.point_cr_value, 10);
+  json_arr(o, "point_cr_scaling", h.grain.point_cr_scaling, 10);
+  json_kv(o, "grain_scaling", h.grain.grain_scaling);
+  json_kv(o, "ar_coeff_lag", h.grain.ar_coeff_lag);
+  json_arr(o, "ar_coeffs_y", h.grain.ar_coeffs_y, 24);
+  json_arr(o, "ar_coeffs_cb", h.grain.ar_coeffs_cb, 25);
+  json_arr(o, "ar_coeffs_cr", h.grain.ar_coeffs_cr, 25);
+  json_kv(o, "ar_coeff_shift", h.grain.ar_coeff_shift);
+  json_kv(o, "grain_scale_shift", h.grain.grain_scale_shift);
+  json_kv(o, "cb_mult", h.grain.cb_mult);
+  json_kv(o, "cb_luma_mult", h.grain.cb_luma_mult);
+  json_kv(o, "cb_offset", h.grain.cb_offset);
+  json_kv(o, "cr_mult", h.grain.cr_mult);
+  json_kv(o, "cr_luma_mult", h.grain.cr_luma_mult);
+  json_kv(o, "cr_offset", h.grain.cr_offset);
+  json_kv(o, "overlap_flag", h.grain.overlap_flag);
+  json_kv(o, "clip_to_restricted_range", h.grain.clip_to_restricted_range,
+          false);
+  o << "},";
+
+  o << "\"gm\":{";
+  json_arr(o, "type", h.gm.gm_type, NUM_REF_FRAMES);
+  json_arr(o, "params", &h.gm.gm_params[0][0], NUM_REF_FRAMES * 6, false);
+  o << "},";
+
+  o << "\"num_tiles\":" << (long)st.tiles.size() << ',';
+  o << "\"tile_sizes\":[";
+  for (size_t i = 0; i < st.tiles.size(); i++) {
+    if (i) o << ',';
+    o << st.tiles[i].size;
+  }
+  o << "]}";
+  return o.str();
+}
+
+int on_frame_ready_cb(DecoderState* st, void* user) {
+  Handle* h = (Handle*)user;
+  h->frame_jsons.push_back(frame_to_json(*st));
+  if (!st->hdr.show_existing_frame) reference_frame_update(st);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* av1n_create() { return new Handle(); }
+
+void av1n_destroy(void* hp) { delete (Handle*)hp; }
+
+// Parse one temporal unit.  Returns number of completed frames, <0 on error.
+int av1n_parse_tu(void* hp, const uint8_t* data, size_t size) {
+  Handle* h = (Handle*)hp;
+  h->frame_jsons.clear();
+  int rc = parse_temporal_unit(&h->st, data, size, on_frame_ready_cb, h);
+  if (rc < 0) return rc;
+  return (int)h->frame_jsons.size();
+}
+
+const char* av1n_seq_json(void* hp) {
+  Handle* h = (Handle*)hp;
+  static thread_local std::string out;
+  out = seq_to_json(h->st.seq);
+  return out.c_str();
+}
+
+const char* av1n_frame_json(void* hp, int idx) {
+  Handle* h = (Handle*)hp;
+  if (idx < 0 || idx >= (int)h->frame_jsons.size()) return nullptr;
+  return h->frame_jsons[idx].c_str();
+}
+
+int av1n_version() { return 1; }
+
+}  // extern "C"

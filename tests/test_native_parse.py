@@ -1,0 +1,85 @@
+"""Native front-half tests: bit reader descriptors + OBU/header parsing.
+
+The header parse is validated against streams generated locally with the
+libaom encoder; field values are cross-checked against what the encoder
+was configured to produce (SURVEY.md §4, M0 exit test).
+"""
+
+import aomffi
+import pytest
+
+from av1dec_tpu.bindings import NativeParser
+
+
+def test_bitreader_selftest(native_lib):
+    # hand-built byte strings vs expected values [SPEC §4.10]
+    assert native_lib.av1n_selftest() == 0
+
+
+def _parse_all(path):
+    p = NativeParser()
+    headers = []
+    for _, data in aomffi.read_ivf(path):
+        headers.extend(p.parse_tu(data))
+    return p.seq, headers
+
+
+def test_parse_8bit_stream(stream_factory):
+    path = stream_factory("parse8", w=192, h=128, frames=10)
+    seq, headers = _parse_all(path)
+    assert seq["max_frame_width"] == 192
+    assert seq["max_frame_height"] == 128
+    assert seq["bit_depth"] == 8
+    assert (seq["subsampling_x"], seq["subsampling_y"]) == (1, 1)
+    assert len(headers) == 10
+    assert headers[0]["frame_type"] == 0  # KEY_FRAME
+    for h in headers:
+        assert h["frame_width"] == 192
+        assert h["frame_height"] == 128
+        assert h["mi_cols"] == 48 and h["mi_rows"] == 32
+        assert 0 <= h["quant"]["base_q_idx"] <= 255
+        assert h["tiles"]["cols"] >= 1 and h["tiles"]["rows"] >= 1
+        assert sum(h["tile_sizes"]) > 0
+    for h in headers[1:]:
+        assert h["frame_type"] == 1  # INTER_FRAME
+        assert all(0 <= r < 8 for r in h["ref_frame_idx"])
+
+
+def test_parse_10bit_stream(stream_factory):
+    path = stream_factory("parse10", w=160, h=96, frames=3, bit_depth=10)
+    seq, headers = _parse_all(path)
+    assert seq["bit_depth"] == 10
+    assert len(headers) == 3
+
+
+def test_parse_keyframe_only(stream_factory):
+    path = stream_factory("kf_only", w=128, h=64, frames=4, kf_max_dist=1)
+    seq, headers = _parse_all(path)
+    assert len(headers) == 4
+    assert all(h["frame_type"] == 0 for h in headers)
+
+
+def test_parse_multi_tile(stream_factory):
+    path = stream_factory(
+        "tiles4", w=512, h=256, frames=3,
+        options=[("tile-columns", "1"), ("tile-rows", "1")])
+    seq, headers = _parse_all(path)
+    assert headers[0]["tiles"]["cols"] == 2
+    assert headers[0]["tiles"]["rows"] == 2
+    assert len(headers[0]["tile_sizes"]) == 4
+
+
+def test_parse_monochrome(stream_factory):
+    path = stream_factory("mono", w=128, h=64, frames=2, monochrome=True)
+    seq, headers = _parse_all(path)
+    assert seq["mono_chrome"] == 1
+    assert len(headers) == 2
+
+
+def test_oracle_md5_stability(stream_factory):
+    # the oracle itself must be deterministic (foundation of all MD5 tests)
+    path = stream_factory("parse8", w=192, h=128, frames=10)
+    f1 = aomffi.oracle_decode_ivf(path)
+    f2 = aomffi.oracle_decode_ivf(path)
+    assert [f.md5() for f in f1] == [f.md5() for f in f2]
+    assert len(f1) == 10

@@ -231,6 +231,9 @@ class AomABI:
         # each, 8-aligned => 4B padding after end_usage):
         # end_usage | pad | stats_in(16) | mb_stats_in(16) | target_bitrate
         self.cfg_rc_end_usage = 4 * rt - 40
+        # fields after kf_max_dist (aom_encoder.h order): sframe_dist,
+        # sframe_mode, large_scale_tile, monochrome, full_still_picture_hdr
+        self.cfg_monochrome = 4 * (kf + 4)
         self.cfg_size = 16384
 
     def _discover_abi_versions(self) -> None:
@@ -406,6 +409,8 @@ class AomEncoder:
         set32(a.cfg_kf_max_dist, kf_max_dist)
         if a.cfg_g_lag_in_frames is not None:
             set32(a.cfg_g_lag_in_frames, lag)
+        if monochrome:
+            set32(a.cfg_monochrome, 1)
         hbd = bit_depth > 8
         if hbd:
             set32(a.cfg_g_bit_depth, bit_depth)
@@ -430,7 +435,7 @@ class AomEncoder:
         _lib.aom_codec_set_option(self._ctx, b"cpu-used", str(cpu_used).encode())
         _lib.aom_codec_set_option(self._ctx, b"row-mt", b"1")
         if monochrome:
-            _lib.aom_codec_set_option(self._ctx, b"monochrome", b"1")
+            pass  # monochrome handled via cfg field
         for k, v in options or []:
             rc = _lib.aom_codec_set_option(self._ctx, k.encode(), v.encode())
             if rc != AOM_CODEC_OK:
