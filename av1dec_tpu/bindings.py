@@ -35,8 +35,72 @@ def _load():
     lib.av1n_seq_json.argtypes = [C.c_void_p]
     lib.av1n_frame_json.restype = C.c_char_p
     lib.av1n_frame_json.argtypes = [C.c_void_p, C.c_int]
+    lib.av1n_set_decode_tiles.argtypes = [C.c_void_p, C.c_int]
+    lib.av1n_last_error.restype = C.c_char_p
+    lib.av1n_last_error.argtypes = [C.c_void_p]
+    lib.av1n_plans_shape.restype = C.c_int
+    lib.av1n_plans_shape.argtypes = [C.c_void_p, C.c_int,
+                                     C.POINTER(C.c_int64)]
+    for name, rt in [("av1n_plans_mi", C.POINTER(C.c_int16)),
+                     ("av1n_plans_tx", C.POINTER(C.c_int32)),
+                     ("av1n_plans_coeffs", C.POINTER(C.c_int32)),
+                     ("av1n_plans_palettes", C.POINTER(C.c_int32)),
+                     ("av1n_plans_color_map", C.POINTER(C.c_uint8)),
+                     ("av1n_plans_color_map_off", C.POINTER(C.c_int32)),
+                     ("av1n_plans_lr", C.POINTER(C.c_int32))]:
+        fn = getattr(lib, name)
+        fn.restype = rt
+        fn.argtypes = [C.c_void_p, C.c_int]
     _lib = lib
     return lib
+
+
+# mirrors native/include/plans.h
+MI_FIELDS = [
+    "bsize", "mode", "uv_mode", "angle_y", "angle_uv", "skip", "seg_id",
+    "cfl_alpha_idx", "cfl_signs", "filter_intra", "palette_y", "palette_uv",
+    "tx_size", "qindex", "delta_lf0", "delta_lf1", "delta_lf2", "delta_lf3",
+    "cdef", "is_inter", "intrabc", "ref0", "ref1", "mv0x", "mv0y", "mv1x",
+    "mv1y", "interp", "motion_mode", "compound_type", "wedge", "lossless",
+]
+TXR_FIELDS = ["plane", "x4", "y4", "tx_size", "tx_type", "eob", "coef_off",
+              "mi"]
+N_LR_I32 = 12  # sizeof(LrUnit)/4
+
+
+class FramePlans:
+    """Python view of one frame's plan tensors (numpy copies)."""
+
+    def __init__(self, lib, h, idx: int):
+        import numpy as np
+
+        shape = (C.c_int64 * 8)()
+        assert lib.av1n_plans_shape(h, idx, shape) == 0
+        (self.mi_rows, self.mi_cols, n_tx, n_coef, n_pal, n_cmap, n_lr,
+         n_fields) = [int(x) for x in shape]
+        n = self.mi_rows * self.mi_cols
+
+        def arr(fn, count, dtype):
+            ptr = fn(h, idx)
+            if not ptr or count == 0:
+                return np.zeros(0, dtype=dtype)
+            return np.ctypeslib.as_array(ptr, shape=(count,)).copy()
+
+        self.mi = arr(lib.av1n_plans_mi, n_fields * n, "int16").reshape(
+            n_fields, self.mi_rows, self.mi_cols)
+        self.tx = arr(lib.av1n_plans_tx, n_tx * len(TXR_FIELDS),
+                      "int32").reshape(n_tx, len(TXR_FIELDS))
+        self.coeffs = arr(lib.av1n_plans_coeffs, n_coef, "int32")
+        self.palettes = arr(lib.av1n_plans_palettes, n_pal * 28,
+                            "int32").reshape(n_pal, 28)
+        self.color_map = arr(lib.av1n_plans_color_map, n_cmap, "uint8")
+        self.color_map_off = arr(lib.av1n_plans_color_map_off, 2 * n_pal,
+                                 "int32").reshape(n_pal, 2) if n_pal else None
+        self.lr = arr(lib.av1n_plans_lr, n_lr * N_LR_I32, "int32").reshape(
+            n_lr, N_LR_I32)
+
+    def grid(self, name: str):
+        return self.mi[MI_FIELDS.index(name)]
 
 
 def rebuild_native() -> None:
@@ -53,15 +117,26 @@ class NativeParser:
         self._lib = _load()
         self._h = self._lib.av1n_create()
 
-    def parse_tu(self, data: bytes) -> List[dict]:
-        """Parse one temporal unit; returns the completed frames' headers."""
+    def parse_tu(self, data: bytes, with_plans: bool = False):
+        """Parse one temporal unit; returns the completed frames' headers
+        (optionally with their plan tensors as (header, FramePlans))."""
         n = self._lib.av1n_parse_tu(self._h, data, len(data))
         if n < 0:
-            raise ValueError(f"native parse error rc={n}")
+            err = self._lib.av1n_last_error(self._h)
+            raise ValueError(f"native parse error rc={n}: {err}")
         out = []
         for i in range(n):
-            out.append(json.loads(self._lib.av1n_frame_json(self._h, i)))
+            hdr = json.loads(self._lib.av1n_frame_json(self._h, i))
+            if with_plans:
+                plans = (None if hdr.get("show_existing_frame")
+                         else FramePlans(self._lib, self._h, i))
+                out.append((hdr, plans))
+            else:
+                out.append(hdr)
         return out
+
+    def set_decode_tiles(self, v: bool) -> None:
+        self._lib.av1n_set_decode_tiles(self._h, int(v))
 
     @property
     def seq(self) -> Optional[dict]:

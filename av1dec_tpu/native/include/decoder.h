@@ -50,6 +50,9 @@ struct DecoderState {
   SequenceHeader seq;
   FrameHeader hdr;          // current frame header
   RefSlot ref[NUM_REF_FRAMES];
+  // frame-end CDFs of the frame being completed (set by the tile-decode
+  // driver before reference_frame_update stores it into refreshed slots)
+  std::shared_ptr<CdfContext> pending_cdfs;
   int seen_frame_header = 0;
   int temporal_id = 0, spatial_id = 0;
   int operating_point_idc = 0;

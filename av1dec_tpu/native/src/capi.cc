@@ -7,11 +7,15 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <sstream>
 #include <string>
 #include <vector>
 
+#include "cdf.h"
 #include "decoder.h"
+#include "plans.h"
+#include "tile_decode.h"
 
 using namespace av1;
 
@@ -20,9 +24,9 @@ namespace {
 struct Handle {
   DecoderState st;
   std::vector<std::string> frame_jsons;  // JSON per completed frame in TU
+  std::vector<std::shared_ptr<FramePlans>> frame_plans;  // parallel array
   std::string last_error;
-  // tile decode callback state added by entropy layer (plans.cc)
-  int decode_tiles = 0;
+  int decode_tiles = 1;  // 0 = headers only
 };
 
 void json_kv(std::ostringstream& o, const char* k, long v, bool comma = true) {
@@ -233,6 +237,51 @@ std::string frame_to_json(const DecoderState& st) {
 int on_frame_ready_cb(DecoderState* st, void* user) {
   Handle* h = (Handle*)user;
   h->frame_jsons.push_back(frame_to_json(*st));
+
+  std::shared_ptr<FramePlans> plans;
+  if (!st->hdr.show_existing_frame && h->decode_tiles) {
+    // Per-frame CDF init [SPEC §7.20]: defaults or loaded from the
+    // primary reference's saved end-state.
+    auto frame_cdf = std::make_shared<CdfContext>();
+    if (st->hdr.primary_ref_frame == PRIMARY_REF_NONE ||
+        !st->ref[st->hdr.ref_frame_idx[st->hdr.primary_ref_frame]]
+             .saved_cdfs) {
+      init_non_coeff_cdfs(frame_cdf.get());
+      init_coeff_cdfs(frame_cdf.get(), st->hdr.quant.base_q_idx);
+    } else {
+      *frame_cdf =
+          *st->ref[st->hdr.ref_frame_idx[st->hdr.primary_ref_frame]]
+               .saved_cdfs;
+    }
+
+    plans = std::make_shared<FramePlans>();
+    plans->init(st->hdr.mi_rows, st->hdr.mi_cols);
+    // one decoder per frame: frame-level neighbor grids (seg ids, cdef,
+    // palette) persist across tiles; per-tile contexts reset inside
+    // decode_tile.  Each tile starts from the frame CDF [SPEC §8.2.1].
+    TileDecoder td(st->seq, st->hdr, nullptr, plans.get());
+    CdfContext tile_cdf;
+    CdfContext saved_cdf = *frame_cdf;  // frame-end context
+    int tile_idx = 0;
+    for (const TileGroupRange& tr : st->tiles) {
+      tile_cdf = *frame_cdf;
+      td.set_cdf(&tile_cdf);
+      if (td.decode_tile(tr.data, tr.size, tr.tile_row, tr.tile_col) < 0) {
+        h->last_error = "tile decode failed";
+        return -1;
+      }
+      if (tile_idx == st->hdr.tiles.context_update_tile_id)
+        saved_cdf = tile_cdf;
+      tile_idx++;
+    }
+    if (!st->hdr.disable_frame_end_update_cdf) {
+      *frame_cdf = saved_cdf;
+    }
+    // stash for reference update below
+    st->pending_cdfs = frame_cdf;
+  }
+  h->frame_plans.push_back(plans);
+
   if (!st->hdr.show_existing_frame) reference_frame_update(st);
   return 0;
 }
@@ -249,6 +298,7 @@ void av1n_destroy(void* hp) { delete (Handle*)hp; }
 int av1n_parse_tu(void* hp, const uint8_t* data, size_t size) {
   Handle* h = (Handle*)hp;
   h->frame_jsons.clear();
+  h->frame_plans.clear();
   int rc = parse_temporal_unit(&h->st, data, size, on_frame_ready_cb, h);
   if (rc < 0) return rc;
   return (int)h->frame_jsons.size();
@@ -268,5 +318,76 @@ const char* av1n_frame_json(void* hp, int idx) {
 }
 
 int av1n_version() { return 1; }
+
+void av1n_set_decode_tiles(void* hp, int v) {
+  ((Handle*)hp)->decode_tiles = v;
+}
+
+const char* av1n_last_error(void* hp) {
+  return ((Handle*)hp)->last_error.c_str();
+}
+
+// ---- plan tensor export (hot data: raw pointers + sizes) ----
+
+static FramePlans* get_plans(void* hp, int idx) {
+  Handle* h = (Handle*)hp;
+  if (idx < 0 || idx >= (int)h->frame_plans.size()) return nullptr;
+  return h->frame_plans[idx].get();
+}
+
+// out[0..7] = mi_rows, mi_cols, n_tx_records, n_coeffs, n_palettes,
+//             color_map_size, n_lr_units, n_mi_fields
+int av1n_plans_shape(void* hp, int idx, int64_t* out) {
+  FramePlans* p = get_plans(hp, idx);
+  if (!p) return -1;
+  out[0] = p->mi_rows;
+  out[1] = p->mi_cols;
+  out[2] = (int64_t)(p->tx_records.size() / N_TXR_FIELDS);
+  out[3] = (int64_t)p->coeffs.size();
+  out[4] = (int64_t)p->palettes.size();
+  out[5] = (int64_t)p->color_map.size();
+  out[6] = (int64_t)p->lr_units.size();
+  out[7] = N_MI_FIELDS;
+  return 0;
+}
+
+const int16_t* av1n_plans_mi(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p ? p->mi.data() : nullptr;
+}
+
+const int32_t* av1n_plans_tx(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p ? p->tx_records.data() : nullptr;
+}
+
+const int32_t* av1n_plans_coeffs(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p ? p->coeffs.data() : nullptr;
+}
+
+const int32_t* av1n_plans_palettes(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p && !p->palettes.empty()
+             ? reinterpret_cast<const int32_t*>(p->palettes.data())
+             : nullptr;
+}
+
+const uint8_t* av1n_plans_color_map(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p && !p->color_map.empty() ? p->color_map.data() : nullptr;
+}
+
+const int32_t* av1n_plans_color_map_off(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p && !p->color_map_off.empty() ? p->color_map_off.data() : nullptr;
+}
+
+const int32_t* av1n_plans_lr(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p && !p->lr_units.empty()
+             ? reinterpret_cast<const int32_t*>(p->lr_units.data())
+             : nullptr;
+}
 
 }  // extern "C"

@@ -1300,6 +1300,7 @@ void reference_frame_update(DecoderState* st) {
       r->saved_lf = h.lf;
       r->saved_seg = h.seg;
       r->saved_grain = h.grain;
+      r->saved_cdfs = st->pending_cdfs;
     }
   }
 }
