@@ -16,12 +16,33 @@ def test_bitreader_selftest(native_lib):
     assert native_lib.av1n_selftest() == 0
 
 
-def _parse_all(path):
+def _parse_all(path, tiles=False):
     p = NativeParser()
+    p.set_decode_tiles(tiles)  # header-level tests; tile decode has its own
     headers = []
     for _, data in aomffi.read_ivf(path):
         headers.extend(p.parse_tu(data))
     return p.seq, headers
+
+
+def test_intra_tile_decode(stream_factory):
+    """Full entropy decode of intra frames must succeed without desync
+    and produce plausible plan statistics (M1 exit test)."""
+    path = stream_factory("intra_m1", w=192, h=128, frames=3, kf_max_dist=1)
+    p = NativeParser()
+    n_frames = 0
+    for _, data in aomffi.read_ivf(path):
+        for hdr, plans in p.parse_tu(data, with_plans=True):
+            n_frames += 1
+            assert plans.mi_rows == 32 and plans.mi_cols == 48
+            assert len(plans.tx) > 100
+            # all emitted modes are valid intra modes
+            assert plans.grid("mode").min() >= 0
+            assert plans.grid("mode").max() < 13
+            assert plans.tx[:, 5].max() <= 1024  # eob within bounds
+            # every mi cell was covered by some block
+            assert (plans.grid("bsize") >= 0).all()
+    assert n_frames == 3
 
 
 def test_parse_8bit_stream(stream_factory):
