@@ -64,7 +64,7 @@ MI_FIELDS = [
     "mv1y", "interp", "motion_mode", "compound_type", "wedge", "lossless",
 ]
 TXR_FIELDS = ["plane", "x4", "y4", "tx_size", "tx_type", "eob", "coef_off",
-              "mi"]
+              "mi", "avail"]
 N_LR_I32 = 12  # sizeof(LrUnit)/4
 
 

@@ -11,8 +11,22 @@
 #pragma once
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 
 namespace av1 {
+
+// Debug symbol tracing (AV1N_TRACE=1): every decoded symbol is printed as
+// "T <n> <nsyms> <ret> <rng> <icdf0>" for differential debugging against
+// the Python spec-model msac.
+inline bool msac_trace_enabled() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = std::getenv("AV1N_TRACE");
+    v = (e && *e == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
 
 constexpr int EC_PROB_SHIFT = 6;
 constexpr int EC_MIN_PROB = 4;
@@ -40,6 +54,15 @@ class Msac {
   }
 
   int decode_symbol_noadapt(const uint16_t* cdf, int nsyms) {
+    int ret = decode_symbol_noadapt_impl(cdf, nsyms);
+    if (msac_trace_enabled()) {
+      std::fprintf(stderr, "T %d %d %d %u %u\n", trace_n_++, nsyms, ret,
+                   rng_, (unsigned)cdf[0]);
+    }
+    return ret;
+  }
+
+  int decode_symbol_noadapt_impl(const uint16_t* cdf, int nsyms) {
     const int N = nsyms - 1;
     unsigned c = (unsigned)(dif_ >> (EC_WIN_SIZE - 16));
     unsigned u, v = rng_;
@@ -62,6 +85,14 @@ class Msac {
 
   // non-adaptive bool with fixed probability f (icdf scale: f = 32768-p0)
   int decode_bool_prob(unsigned f) {
+    int ret = decode_bool_prob_impl(f);
+    if (msac_trace_enabled()) {
+      std::fprintf(stderr, "T %d B %d %u %u\n", trace_n_++, ret, rng_, f);
+    }
+    return ret;
+  }
+
+  int decode_bool_prob_impl(unsigned f) {
     unsigned v = (((rng_ >> 8) * (f >> EC_PROB_SHIFT)) >>
                   (7 - EC_PROB_SHIFT)) +
                  EC_MIN_PROB;
@@ -156,6 +187,7 @@ class Msac {
   unsigned rng_ = 0x8000;
   int cnt_ = 0;
   bool allow_update_cdf_ = true;
+  int trace_n_ = 0;
 };
 
 }  // namespace av1

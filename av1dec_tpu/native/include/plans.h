@@ -60,6 +60,8 @@ enum TxRecField : int {
   TXR_EOB,       // 0 => no coefficients
   TXR_COEF_OFF,  // offset into coeffs[] (w*h int32), -1 if eob==0
   TXR_MI,        // owning mi index: mi_row * mi_cols + mi_col (luma grid)
+  TXR_AVAIL,     // bit0 haveLeft, bit1 haveAbove, bit2 haveAboveRight,
+                 // bit3 haveBelowLeft  [SPEC §5.11.35 -> §7.11.2 args]
   N_TXR_FIELDS,
 };
 constexpr int TX_WHT_MARKER = 19;

@@ -84,6 +84,7 @@ class TileDecoder {
   // current block state
   int mi_row_ = 0, mi_col_ = 0, bsize_ = 0, bw4_ = 0, bh4_ = 0;
   bool avail_u_ = false, avail_l_ = false, has_chroma_ = false;
+  bool avail_u_chroma_ = false, avail_l_chroma_ = false;
   int y_mode_ = 0, uv_mode_ = 0;
   int angle_delta_y_ = 0, angle_delta_uv_ = 0;
   int skip_ = 0, segment_id_ = 0, use_intrabc_ = 0;
@@ -110,6 +111,15 @@ class TileDecoder {
   // loop restoration refs
   int lr_ref_wiener_[3][2][3] = {};
   int lr_ref_sgr_[3][2] = {};
+
+  // BlockDecoded[plane][row+1][col+1], superblock-relative in plane 4x4
+  // units with a 1-cell border [SPEC §7.11.2 availability]
+  uint8_t block_decoded_[3][36][36] = {};
+  void clear_block_decoded(int sb4);
+  int bdec(int plane, int py, int px) const {
+    if (py < -1 || px < -1 || py > 33 || px > 33) return 0;
+    return block_decoded_[plane][py + 1][px + 1];
+  }
 };
 
 }  // namespace av1

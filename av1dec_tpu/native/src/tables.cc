@@ -168,14 +168,18 @@ static void gen_scans(int tx) {
   int adj = kAdjustedTxSize[tx];
   int w = tx_size_wide(adj), h = tx_size_high(adj);
   int n = w * h;
-  // default: zig-zag diagonals, direction alternating; diagonal d holds
-  // positions r+c==d; odd d runs r ascending, even d runs r descending
+  // default scans [SPEC §9.3, verified against libaom rodata]:
+  // - square: zig-zag (alternating direction per anti-diagonal;
+  //   odd diagonals r ascending, even r descending)
+  // - wide rect (w > h): every diagonal r descending (bottom-left first)
+  // - tall rect (w < h): every diagonal r ascending (top-right first)
   std::vector<int16_t>& dflt = g_scan_store[tx][0];
   dflt.clear();
   for (int d = 0; d < w + h - 1; d++) {
     int rlo = std::max(0, d - (w - 1));
     int rhi = std::min(h - 1, d);
-    if (d & 1) {
+    bool ascending = (w == h) ? ((d & 1) != 0) : (w < h);
+    if (ascending) {
       for (int r = rlo; r <= rhi; r++) dflt.push_back(r * w + (d - r));
     } else {
       for (int r = rhi; r >= rlo; r--) dflt.push_back(r * w + (d - r));

@@ -199,11 +199,35 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
         for (int j = 0; j < sb4; j += 16)
           if (r + i < mi_rows_ && c + j < mi_cols_)
             cdef_idx_[((r + i) >> 4) * stride + ((c + j) >> 4)] = -1;
+      clear_block_decoded(sb4);
       read_lr(r, c, sb_size);
       if (decode_partition(r, c, sb_size) < 0) return -1;
     }
   }
   return 0;
+}
+
+void TileDecoder::clear_block_decoded(int sb4) {
+  // [SPEC clear_block_decoded_flags]: above/left borders marked decoded
+  // (previous superblocks), interior cleared, below-left corner cleared
+  for (int plane = 0; plane < seq_.num_planes(); plane++) {
+    int subx = plane ? seq_.subsampling_x : 0;
+    int suby = plane ? seq_.subsampling_y : 0;
+    int sbW = sb4 >> subx, sbH = sb4 >> suby;
+    for (int y = -1; y <= sbH; y++) {
+      for (int x = -1; x <= sbW; x++) {
+        uint8_t v;
+        if (y < 0 && x < sbW)
+          v = 1;
+        else if (x < 0 && y < sbH)
+          v = 1;
+        else
+          v = 0;
+        block_decoded_[plane][y + 1][x + 1] = v;
+      }
+    }
+    block_decoded_[plane][sbH + 1][0] = 0;  // [sbH][-1]
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -518,6 +542,17 @@ int TileDecoder::decode_block(int r, int c, int bSize) {
   has_chroma_ = seq_.num_planes() > 1 &&
                 ((r & 1) || !(bh4_ & 1) || !seq_.subsampling_y) &&
                 ((c & 1) || !(bw4_ & 1) || !seq_.subsampling_x);
+  // chroma availability: the chroma block spans the 4x4 pair [SPEC §5.11.5]
+  avail_u_chroma_ = avail_u_;
+  avail_l_chroma_ = avail_l_;
+  if (has_chroma_) {
+    if (seq_.subsampling_y && bh4_ == 1)
+      avail_u_chroma_ = (r - 1) > mi_row_start_;
+    if (seq_.subsampling_x && bw4_ == 1)
+      avail_l_chroma_ = (c - 1) > mi_col_start_;
+  } else {
+    avail_u_chroma_ = avail_l_chroma_ = false;
+  }
   cur_palette_ = -1;
 
   if (hdr_.frame_is_intra) {
@@ -1153,6 +1188,24 @@ void TileDecoder::transform_block(int plane, int baseX, int baseY, int txSz,
   if (startX >= maxX || startY >= maxY) return;
 
   int txw4 = kTxWidth4[txSz], txh4 = kTxHeight4[txSz];
+
+  // intra neighbor availability [SPEC transform_block -> predict_intra]
+  int sbMask = seq_.use_128x128_superblock ? 31 : 15;
+  int miRowTx = (startY << subY) >> 2;
+  int miColTx = (startX << subX) >> 2;
+  int py = (miRowTx & sbMask) >> subY;  // plane 4x4 units within SB
+  int px = (miColTx & sbMask) >> subX;
+  int haveLeft = (x > 0) || (plane ? avail_l_chroma_ : avail_l_);
+  int haveAbove = (y > 0) || (plane ? avail_u_chroma_ : avail_u_);
+  int haveAboveRight = bdec(plane, py - 1, px + txw4);
+  int haveBelowLeft = bdec(plane, py + txh4, px - 1);
+  int avail = haveLeft | (haveAbove << 1) | (haveAboveRight << 2) |
+              (haveBelowLeft << 3);
+  for (int i = 0; i < txh4; i++)
+    for (int j = 0; j < txw4; j++)
+      if (py + i + 1 < 36 && px + j + 1 < 36)
+        block_decoded_[plane][py + i + 1][px + j + 1] = 1;
+
   int eob = 0, txType = DCT_DCT;
   size_t coefOff = (size_t)-1;
   if (!skip_) {
@@ -1171,6 +1224,7 @@ void TileDecoder::transform_block(int plane, int baseX, int baseY, int txSz,
   rec[TXR_EOB] = eob;
   rec[TXR_COEF_OFF] = coefOff == (size_t)-1 ? -1 : (int32_t)coefOff;
   rec[TXR_MI] = mi_row_ * mi_cols_ + mi_col_;
+  rec[TXR_AVAIL] = avail;
   plans_->tx_records.insert(plans_->tx_records.end(), rec,
                             rec + N_TXR_FIELDS);
 }

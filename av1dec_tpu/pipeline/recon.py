@@ -1,0 +1,212 @@
+"""Frame reconstruction from plan tensors — spec-model driver.
+
+Walks the transform-block record stream in decode order (which is the
+intra dependency order), performing predict -> dequant -> inverse
+transform -> add -> clamp per block [SPEC §7.11-§7.13].  This is the
+slow, obviously-correct reference; the Pallas path replaces the inner
+kernels with batched device code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from av1dec_tpu.ops.spec import dequant, intra, itx
+
+# mirror of native enums
+TX_DIMS = itx.TX_DIMS
+DC_PRED = 0
+UV_CFL_PRED = 13
+
+
+def _alpha(joint_sign, alpha_idx, plane):
+    # cfl_idx_to_alpha [SPEC §7.11.5]
+    sign = (joint_sign + 1) // 3 if plane == 1 else (joint_sign + 1) % 3
+    if sign == 0:
+        return 0
+    abs_alpha = (alpha_idx >> 4) & 15 if plane == 1 else alpha_idx & 15
+    a = abs_alpha + 1
+    return -a if sign == 1 else a
+
+
+class FrameRecon:
+    """Reconstructs one frame's planes from its FramePlans."""
+
+    def __init__(self, seq: dict, hdr: dict, plans) -> None:
+        self.seq = seq
+        self.hdr = hdr
+        self.plans = plans
+        self.bd = seq["bit_depth"]
+        self.sub_x = seq["subsampling_x"]
+        self.sub_y = seq["subsampling_y"]
+        self.num_planes = 1 if seq["mono_chrome"] else 3
+        self.mi_rows = plans.mi_rows
+        self.mi_cols = plans.mi_cols
+        h, w = self.mi_rows * 4, self.mi_cols * 4
+        self.planes = [np.zeros((h, w), dtype=np.int64)]
+        for _ in range(self.num_planes - 1):
+            self.planes.append(
+                np.zeros((h >> self.sub_y, w >> self.sub_x), dtype=np.int64))
+        self.enable_edge_filter = bool(seq["enable_intra_edge_filter"])
+
+    # -- helpers over the mi grid ----------------------------------------
+    def g(self, name, mi_r, mi_c):
+        return int(self.plans.grid(name)[mi_r, mi_c])
+
+    def _block_origin(self, mi_r, mi_c):
+        return mi_r, mi_c  # records carry the block origin directly
+
+    def _filter_type(self, mi_r, mi_c, plane, have_above, have_left):
+        """get_filter_type [SPEC §7.11.2.8]: neighbors smooth?"""
+        def is_smooth(r, c):
+            if r < 0 or c < 0 or r >= self.mi_rows or c >= self.mi_cols:
+                return 0
+            if self.g("is_inter", r, c):
+                return 0  # inter: uses y mode too; refine with inter
+            mode = self.g("uv_mode" if plane else "mode", r, c)
+            return int(mode in (9, 10, 11))  # SMOOTH family
+        above_smooth = 0
+        left_smooth = 0
+        if have_above:
+            cand_r, cand_c = mi_r - 1, mi_c
+            if plane > 0:
+                if self.sub_x and not (mi_c & 1):
+                    cand_c += 1
+                if self.sub_y and (mi_r & 1):
+                    cand_r -= 1
+            above_smooth = is_smooth(cand_r, cand_c)
+        if have_left:
+            cand_r, cand_c = mi_r, mi_c - 1
+            if plane > 0:
+                if self.sub_x and (mi_c & 1) == 0 and False:
+                    pass
+                if self.sub_y and not (mi_r & 1):
+                    cand_r += 1
+                if self.sub_x and (mi_c & 1):
+                    cand_c -= 0
+            left_smooth = is_smooth(cand_r, cand_c)
+        return int(above_smooth or left_smooth)
+
+    # -- main -------------------------------------------------------------
+    def run(self):
+        plans = self.plans
+        mi_cols = self.mi_cols
+        for rec in plans.tx:
+            (plane, x4, y4, tx_size, tx_type, eob, coef_off, mi, avail) = \
+                [int(v) for v in rec]
+            mi_r, mi_c = mi // mi_cols, mi % mi_cols
+            w, h = (4, 4) if tx_size == 19 else TX_DIMS[tx_size]
+            sub_x = self.sub_x if plane else 0
+            sub_y = self.sub_y if plane else 0
+            x, y = x4 * 4, y4 * 4
+            frame = self.planes[plane]
+            plane_h = (self.mi_rows * 4) >> sub_y
+            plane_w = (self.mi_cols * 4) >> sub_x
+            # on-screen tx dims (blocks can overhang the mi area? no —
+            # transform blocks are always inside the mi area)
+            have_left = bool(avail & 1)
+            have_above = bool(avail & 2)
+            have_above_right = bool(avail & 4)
+            have_below_left = bool(avail & 8)
+
+            # ---- prediction
+            use_palette = self.g("palette_y" if plane == 0 else "palette_uv",
+                                 mi_r, mi_c) > 0
+            intrabc = self.g("intrabc", mi_r, mi_c)
+            if intrabc:
+                raise NotImplementedError("intrabc recon")
+            if use_palette:
+                pred = self._palette_pred(plane, mi_r, mi_c, x, y, w, h)
+            else:
+                mode = self.g("mode" if plane == 0 else "uv_mode", mi_r, mi_c)
+                angle = self.g("angle_y" if plane == 0 else "angle_uv",
+                               mi_r, mi_c)
+                fi_mode = self.g("filter_intra", mi_r, mi_c) \
+                    if plane == 0 else -1
+                is_cfl = plane > 0 and mode == UV_CFL_PRED
+                ftype = self._filter_type(mi_r, mi_c, plane, have_above,
+                                          have_left)
+                pred = intra.predict_intra(
+                    frame, (plane_h, plane_w), x, y, w, h,
+                    DC_PRED if is_cfl else mode, angle,
+                    have_left, have_above, have_above_right,
+                    have_below_left, self.bd, ftype,
+                    self.enable_edge_filter, fi_mode)
+                if is_cfl:
+                    luma = self.planes[0]
+                    signs = self.g("cfl_signs", mi_r, mi_c)
+                    alpha_idx = self.g("cfl_alpha_idx", mi_r, mi_c)
+                    # luma extent for this block (clamped to plane dims)
+                    max_l_x = min((x + w) << self.sub_x,
+                                  self.mi_cols * 4) - (1 << self.sub_x)
+                    max_l_y = min((y + h) << self.sub_y,
+                                  self.mi_rows * 4) - (1 << self.sub_y)
+                    ac = intra.cfl_luma_ac(luma, y, x, w, h, self.sub_x,
+                                           self.sub_y, max_l_y, max_l_x)
+                    alpha = _alpha(signs, alpha_idx, plane)
+                    pred = intra.cfl_predict(pred, ac, alpha, self.bd)
+
+            # ---- residual
+            if eob > 0:
+                qindex = self.g("qindex", mi_r, mi_c)
+                lossless = self.g("lossless", mi_r, mi_c)
+                q = self.hdr["quant"]
+                if plane == 0:
+                    dcd, acd = q["delta_q_y_dc"], 0
+                elif plane == 1:
+                    dcd, acd = q["delta_q_u_dc"], q["delta_q_u_ac"]
+                else:
+                    dcd, acd = q["delta_q_v_dc"], q["delta_q_v_ac"]
+                adj_w, adj_h = (4, 4) if tx_size == 19 else (
+                    min(w, 32), min(h, 32))
+                levels = plans.coeffs[coef_off: coef_off + adj_w * adj_h]
+                if lossless:
+                    # WHT path: dequant is q scale applied before WHT
+                    dq = dequant.dequant_block(levels, tx_size, qindex,
+                                               self.bd, dcd, acd, True)
+                else:
+                    dq = dequant.dequant_block(levels, tx_size, qindex,
+                                               self.bd, dcd, acd, False)
+                res = itx.inverse_transform(dq, tx_size, tx_type)
+                out = np.clip(pred + res, 0, (1 << self.bd) - 1)
+            else:
+                out = pred
+            frame[y: y + h, x: x + w] = out
+        return self.planes
+
+    def _palette_pred(self, plane, mi_r, mi_c, x, y, w, h):
+        # find the palette record for this block
+        plans = self.plans
+        for pi in range(len(plans.palettes) - 1, -1, -1):
+            rec = plans.palettes[pi]
+            if rec[0] <= mi_r and rec[1] <= mi_c:
+                bs_r, bs_c = int(rec[0]), int(rec[1])
+                if self.g("bsize", bs_r, bs_c) >= 0:
+                    break
+        rec = plans.palettes[pi]
+        size_y, size_uv = int(rec[2]), int(rec[3])
+        colors = rec[4:].reshape(3, 8)
+        pair = 0 if plane == 0 else 1
+        off = int(plans.color_map_off[pi, pair])
+        sub_x = self.sub_x if plane else 0
+        sub_y = self.sub_y if plane else 0
+        # block dims in this plane
+        mi = self.plans
+        bsize_w4 = None
+        # map dims: full block (padded) dims as emitted
+        from av1dec_tpu.bindings import MI_FIELDS  # noqa
+        bw4 = {  # lookup via bsize grid
+        }
+        bsz = self.g("bsize", bs_r, bs_c)
+        BLOCK_W4 = [1, 1, 2, 2, 2, 4, 4, 4, 8, 8, 8, 16, 16, 16, 32, 32,
+                    1, 4, 2, 8, 4, 16]
+        BLOCK_H4 = [1, 2, 1, 2, 4, 2, 4, 8, 4, 8, 16, 8, 16, 32, 16, 32,
+                    4, 1, 8, 2, 16, 4]
+        bw = (BLOCK_W4[bsz] * 4) >> sub_x
+        bh = (BLOCK_H4[bsz] * 4) >> sub_y
+        cmap = plans.color_map[off: off + bw * bh].reshape(bh, bw)
+        ox = x - ((bs_c * 4) >> sub_x)
+        oy = y - ((bs_r * 4) >> sub_y)
+        idxs = cmap[oy: oy + h, ox: ox + w]
+        comp = 0 if plane == 0 else plane  # 1 -> U colors, 2 -> V colors
+        return colors[comp][idxs].astype(np.int64)

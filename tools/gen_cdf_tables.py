@@ -114,7 +114,7 @@ TABLES = [
     ("Partition", "svt", 23472, (20, 11)),
     ("UvMode", "svt", 23696, (2, 13, 15)),
     ("IfYMode", "svt", 24096, (4, 14)),
-    ("AngleDelta", "svt", 24152, (8, 8)),
+    ("AngleDelta", "svt", 24160, (8, 8)),
     ("KfYMode", "svt", 24224, (5, 5, 14)),
     # --- coefficient side (libaom) ---
     ("CoeffBaseEob", "aom", 26160, (4, 5, 2, 4, 4)),
@@ -169,7 +169,9 @@ def row_values(row: np.ndarray):
 def validate_row(row: np.ndarray, name: str) -> bool:
     vals = row_values(row)
     if len(vals) == 0:
-        return name in ZERO_ROWS_OK or np.all(row == 0)
+        # all-zero rows are only legitimate for tables with unused
+        # contexts; anywhere else it means a misaligned extraction
+        return name in ZERO_ROWS_OK and np.all(row == 0)
     if not np.all(np.diff(vals) <= 0):  # nonincreasing (equal allowed)
         return False
     if vals[0] >= 32768:
