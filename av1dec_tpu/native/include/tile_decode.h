@@ -62,7 +62,7 @@ class TileDecoder {
   int get_txb_skip_ctx(int plane, int txSz, int x4, int y4, int w4, int h4);
   int get_dc_sign_ctx(int plane, int x4, int y4, int w4, int h4);
   static int get_coeff_base_ctx(const uint8_t* levels, int pos, int bwl,
-                                int stride, int txClass);
+                                int stride, int txClass, int height);
   static int get_br_ctx(const uint8_t* levels, int pos, int bwl, int stride,
                         int txClass);
   // loop restoration
@@ -115,7 +115,7 @@ class TileDecoder {
   // BlockDecoded[plane][row+1][col+1], superblock-relative in plane 4x4
   // units with a 1-cell border [SPEC §7.11.2 availability]
   uint8_t block_decoded_[3][36][36] = {};
-  void clear_block_decoded(int sb4);
+  void clear_block_decoded(int sb_r, int sb_c, int sb4);
   int bdec(int plane, int py, int px) const {
     if (py < -1 || px < -1 || py > 33 || px > 33) return 0;
     return block_decoded_[plane][py + 1][px + 1];

@@ -33,13 +33,14 @@ inline int ceil_log2(int x) {
   return n;
 }
 
-// partition context bytes: bit bsl set <=> stored block narrower than
-// 1<<bsl mi units [libaom partition_context_lookup]
+// partition context bytes: bit k set <=> stored block narrower than
+// 1<<k mi units, i.e. STRICTLY smaller than the querying block size
+// (equal-size neighbor => ctx bit 0).  byte = ~((2 << w) - 1).
 inline uint8_t part_ctx_above(int bsize) {
-  return 31 ^ ((1 << kMiWidthLog2[bsize]) - 1);
+  return 63 ^ ((2 << kMiWidthLog2[bsize]) - 1);
 }
 inline uint8_t part_ctx_left(int bsize) {
-  return 31 ^ ((1 << kMiHeightLog2[bsize]) - 1);
+  return 63 ^ ((2 << kMiHeightLog2[bsize]) - 1);
 }
 
 // chroma subsampled block size [SPEC Subsampled_Size table]
@@ -199,7 +200,7 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
         for (int j = 0; j < sb4; j += 16)
           if (r + i < mi_rows_ && c + j < mi_cols_)
             cdef_idx_[((r + i) >> 4) * stride + ((c + j) >> 4)] = -1;
-      clear_block_decoded(sb4);
+      clear_block_decoded(r, c, sb4);
       read_lr(r, c, sb_size);
       if (decode_partition(r, c, sb_size) < 0) return -1;
     }
@@ -207,19 +208,24 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
   return 0;
 }
 
-void TileDecoder::clear_block_decoded(int sb4) {
-  // [SPEC clear_block_decoded_flags]: above/left borders marked decoded
-  // (previous superblocks), interior cleared, below-left corner cleared
+void TileDecoder::clear_block_decoded(int sb_r, int sb_c, int sb4) {
+  // [SPEC clear_block_decoded_flags]: above/left borders marked decoded up
+  // to the TILE edge (sbWidth4/sbHeight4 = remaining tile extent), so the
+  // top border extends one past the SB when the tile continues to the
+  // right — this is what makes haveAboveRight available on SB top rows.
+  // Interior cleared; below-left corner [sbSize4][-1] forced 0.
   for (int plane = 0; plane < seq_.num_planes(); plane++) {
     int subx = plane ? seq_.subsampling_x : 0;
     int suby = plane ? seq_.subsampling_y : 0;
     int sbW = sb4 >> subx, sbH = sb4 >> suby;
+    int sbWidth4 = (mi_col_end_ - sb_c) >> subx;
+    int sbHeight4 = (mi_row_end_ - sb_r) >> suby;
     for (int y = -1; y <= sbH; y++) {
       for (int x = -1; x <= sbW; x++) {
         uint8_t v;
-        if (y < 0 && x < sbW)
+        if (y < 0 && x < sbWidth4)
           v = 1;
-        else if (x < 0 && y < sbH)
+        else if (x < 0 && y < sbHeight4)
           v = 1;
         else
           v = 0;
@@ -1361,7 +1367,7 @@ int TileDecoder::coeffs(int plane, int startX, int startY, int txSz,
       level =
           r_.decode_symbol(cdf_->coeff_base_eob[txSzCtx][ptype][ctx], 3) + 1;
     } else {
-      int ctx = get_coeff_base_ctx(levels.data(), pos, bwl, stride, txClass);
+      int ctx = get_coeff_base_ctx(levels.data(), pos, bwl, stride, txClass, adjH);
       level = r_.decode_symbol(cdf_->coeff_base[txSzCtx][ptype][ctx], 4);
     }
     if (level > 2) {
@@ -1422,11 +1428,13 @@ int TileDecoder::get_txb_skip_ctx(int plane, int txSz, int x4, int y4,
                                                 {1, 4, 4, 4, 5},
                                                 {1, 4, 4, 4, 6}};
     int top = 0, lft = 0;
-    for (int i = 0; i < w4; i++) top |= above[x4 + i] & 63;
-    for (int i = 0; i < h4; i++) lft |= left[y4 + i] & 63;
-    top = std::min(top, 4);
-    lft = std::min(lft, 4);
-    return skip_contexts[top][lft];
+    for (int i = 0; i < w4; i++) top |= above[x4 + i];
+    for (int i = 0; i < h4; i++) lft |= left[y4 + i];
+    top &= 63;
+    lft &= 63;
+    int mx = std::min(top | lft, 4);
+    int mn = std::min(std::min(top, lft), 4);
+    return skip_contexts[mn][mx];
   } else {
     int aboveNz = 0, leftNz = 0;
     for (int i = 0; i < w4; i++) aboveNz |= above[x4 + i];
@@ -1463,10 +1471,11 @@ int TileDecoder::get_dc_sign_ctx(int plane, int x4, int y4, int w4, int h4) {
 }
 
 int TileDecoder::get_coeff_base_ctx(const uint8_t* levels, int pos, int bwl,
-                                    int stride, int txClass) {
+                                    int stride, int txClass, int height) {
   int row = pos >> bwl;
   int col = pos - (row << bwl);
   int p = row * stride + col;
+  int width = 1 << bwl;
   int mag = std::min<int>(levels[p + 1], 3) +
             std::min<int>(levels[p + stride], 3);
   if (txClass == TX_CLASS_2D) {
@@ -1484,13 +1493,20 @@ int TileDecoder::get_coeff_base_ctx(const uint8_t* levels, int pos, int bwl,
   }
   int ctx = std::min(4, (mag + 1) >> 1);
   if (txClass == TX_CLASS_2D) {
+    // position offset [SPEC coeff base ctx]: square uses (row+col) bands;
+    // wide rect: rows 0-1 -> 11; tall rect: cols 0-1 -> 16
+    // (verified against libgav1's per-size tables)
     if (pos == 0) return 0;
-    static const uint8_t offsets_2d[5][5] = {{0, 1, 6, 6, 21},
-                                             {1, 6, 6, 21, 21},
-                                             {6, 6, 21, 21, 21},
-                                             {6, 21, 21, 21, 21},
-                                             {21, 21, 21, 21, 21}};
-    return ctx + offsets_2d[std::min(row, 4)][std::min(col, 4)];
+    int off;
+    if (width < height && row < 2) {
+      off = 11;
+    } else if (width > height && col < 2) {
+      off = 16;
+    } else {
+      int rc = std::min(row, 4) + std::min(col, 4);
+      off = rc < 2 ? 1 : rc < 4 ? 6 : 21;
+    }
+    return ctx + off;
   }
   int idx = txClass == TX_CLASS_VERT ? row : col;
   int off = idx == 0 ? 0 : idx == 1 ? 5 : 10;

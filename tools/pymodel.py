@@ -247,6 +247,7 @@ class MiniDecoder:
         self.bsizeg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.cdef_read = set()
         self.sb4 = 32 if seq["use_128x128_superblock"] else 16
+        self.bdec = [np.zeros((38, 38), dtype=np.int64) for _ in range(3)]
         # emitted plans (duck-typed like bindings.FramePlans)
         self.uv_modeg = np.zeros_like(self.mode)
         self.angle_yg = np.zeros_like(self.mode)
@@ -296,6 +297,17 @@ class MiniDecoder:
             self.left_tx[:] = 64
             for c in range(0, self.mi_cols, self.sb4):
                 self.cdef_read = set()
+                for p in range(3):
+                    sx = self.sub_x if p else 0
+                    sy = self.sub_y if p else 0
+                    sw, sh = self.sb4 >> sx, self.sb4 >> sy
+                    # spec: borders marked to TILE edge (sbWidth4/Height4)
+                    sw4 = (self.mi_cols - c) >> sx
+                    sh4 = (self.mi_rows - r) >> sy
+                    bd = self.bdec[p]; bd[:] = 0
+                    bd[0, 0:min(sw, sw4 - 1) + 2] = 1    # row -1 (index 0)
+                    bd[0:min(sh, sh4 - 1) + 2, 0] = 1    # col -1
+                    bd[sh+1, 0] = 0     # below-left corner [sbSize4][-1]
                 sb = 15 if self.sb4 == 16 else 16  # BLOCK_64X64/128
                 self.decode_partition(r, c, 12 if self.sb4 == 16 else 15)
 
@@ -310,12 +322,16 @@ class MiniDecoder:
         has_cols = (c + half) < self.mi_cols
         part = 0
         bsl = MWL[bsize]
+        if bsize < 3:
+            self.decode_block(r, c, bsize)
+            return
         if bsize >= 3:
             above = (int(self.above_part[c]) >> bsl) & 1
             left = (int(self.left_part[r]) >> bsl) & 1
             ctx = (bsl - 1) * 4 + left * 2 + above
             if has_rows and has_cols:
                 nsyms = 4 if bsize == 3 else 8 if bsize == 15 else 10
+                self.read_tags.append((len(self.r.trace), f'partition@{r},{c},{bsize}'))
                 part = self.r.read_symbol(self.cdf["Partition"][ctx], nsyms)
             elif has_cols:
                 p = self.gather(ctx, bsize, True)
@@ -373,8 +389,8 @@ class MiniDecoder:
         # ctx update
         if bsize >= 3 and (part != 3 or bsize == 3):
             def upd(rr, cc, s, over):
-                a = 31 ^ ((1 << MWL[s]) - 1)
-                l = 31 ^ ((1 << MHL[s]) - 1)
+                a = 63 ^ ((2 << MWL[s]) - 1)
+                l = 63 ^ ((2 << MHL[s]) - 1)
                 for i in range(BW4[over]):
                     if cc + i < self.mi_cols:
                         self.above_part[cc + i] = a
@@ -418,9 +434,19 @@ class MiniDecoder:
         self.avail_l = c > 0
         has_chroma = ((r & 1) or not (bh4 & 1) or not self.sub_y) and \
                      ((c & 1) or not (bw4 & 1) or not self.sub_x)
+        self.avail_u_chroma = self.avail_u
+        self.avail_l_chroma = self.avail_l
+        if has_chroma:
+            if self.sub_y and bh4 == 1:
+                self.avail_u_chroma = (r - 1) > 0
+            if self.sub_x and bw4 == 1:
+                self.avail_l_chroma = (c - 1) > 0
+        else:
+            self.avail_u_chroma = self.avail_l_chroma = False
         # skip
         above_skip = int(self.skipg[r - 1, c]) if self.avail_u else 0
         left_skip = int(self.skipg[r, c - 1]) if self.avail_l else 0
+        self.read_tags.append((len(self.r.trace), f'skip@{r},{c}'))
         skip = self.r.read_bool(self.cdf["Skip"][above_skip + left_skip])
         # cdef (once per 64x64, at first non-skip block)
         if not skip and not self.hdr["coded_lossless"] and \
@@ -439,6 +465,7 @@ class MiniDecoder:
         # y mode (kf)
         am = int(self.mode[r - 1, c]) if self.avail_u else 0
         lm = int(self.mode[r, c - 1]) if self.avail_l else 0
+        self.read_tags.append((len(self.r.trace), f'ymode@{r},{c}'))
         ymode = self.r.read_symbol(self.cdf["KfYMode"][IMC[am]][IMC[lm]], 13)
         angle_y = 0
         if bsize >= 3 and 1 <= ymode <= 8:
@@ -519,6 +546,7 @@ class MiniDecoder:
             ctx = left
         else:
             ctx = 0
+        self.read_tags.append((len(self.r.trace), 'txsize'))
         depth = self.r.read_symbol(self.cdf["TxSize"][cat][ctx], depth_syms)
         tx = maxrect
         for _ in range(depth):
@@ -560,11 +588,13 @@ class MiniDecoder:
                             if sx0 >= ((self.mi_cols * 4) >> sx) or \
                                sy0 >= ((self.mi_rows * 4) >> sy):
                                 continue
+                            self.cur_avail = self.avail_bits(
+                                plane, sx0, sy0, tsz, xx, yy, sx, sy)
                             if skip:
                                 self.set_ctx(plane, sx0 >> 2, sy0 >> 2,
                                              TXW4[tsz], TXH4[tsz], 0)
-                                av = int((sx0 >> 2) > 0) | \
-                                    (int((sy0 >> 2) > 0) << 1)
+                                av = self.avail_bits(plane, sx0, sy0,
+                                                     tsz, xx, yy, sx, sy)
                                 self.tx_records += [plane, sx0 >> 2,
                                                     sy0 >> 2, tsz, 0, 0, -1,
                                                     r * self.mi_cols + c, av]
@@ -572,6 +602,26 @@ class MiniDecoder:
                                 self.read_coeffs(plane, sx0, sy0, tsz, bsize,
                                             ymode, uv_mode, fi_mode,
                                             r * self.mi_cols + c)
+
+    def avail_bits(self, plane, sx0, sy0, tsz, xx, yy, sx, sy):
+        # [SPEC transform_block availability]
+        sbmask = self.sb4 - 1
+        mi_r_tx = (sy0 << sy) >> 2
+        mi_c_tx = (sx0 << sx) >> 2
+        py = (mi_r_tx & sbmask) >> sy
+        px = (mi_c_tx & sbmask) >> sx
+        w4, h4 = TXW4[tsz], TXH4[tsz]
+        have_left = int(xx > 0 or (self.avail_l_chroma if plane
+                                   else self.avail_l))
+        have_above = int(yy > 0 or (self.avail_u_chroma if plane
+                                    else self.avail_u))
+        bd = self.bdec[plane]
+        have_ar = int(bd[py, px + w4 + 1])      # [py-1][px+w4]
+        have_bl = int(bd[py + h4 + 1, px])      # [py+h4][px-1]
+        # mark decoded
+        bd[py + 1: py + h4 + 1, px + 1: px + w4 + 1] = 1
+        return have_left | (have_above << 1) | (have_ar << 2) | \
+            (have_bl << 3)
 
     def set_ctx(self, plane, x4, y4, w4, h4, v):
         self.above_ctx[plane][x4: x4 + w4] = v
@@ -588,11 +638,11 @@ class MiniDecoder:
         bwl = TXWL[adj]
         # txb skip ctx
         ts_ctx = self.txb_skip_ctx(plane, tsz, x4, y4, w4, h4, bsize)
-        self.read_tags.append((len(self.r.trace), "txb_skip"))
+        self.read_tags.append((len(self.r.trace), f'txb_skip@p{plane},{x4},{y4}'))
         if self.r.read_bool(self.cdf["TxbSkip"][txszctx][ts_ctx]):
             self.set_ctx(plane, x4, y4, w4, h4, 0)
-            av = int(x4 > 0) | (int(y4 > 0) << 1)
-            self.tx_records += [plane, x4, y4, tsz, 0, 0, -1, mi, av]
+            self.tx_records += [plane, x4, y4, tsz, 0, 0, -1, mi,
+                                self.cur_avail]
             return
         # tx type
         tx_type = self.read_tx_type(plane, tsz, ymode, uv_mode, fi_mode)
@@ -631,7 +681,7 @@ class MiniDecoder:
                 lv = self.r.read_symbol(
                     self.cdf["CoeffBaseEob"][txszctx][pt][ectx], 3) + 1
             else:
-                bctx = self.base_ctx(levels, pos, bwl, stride, cls)
+                bctx = self.base_ctx(levels, pos, bwl, stride, cls, adj_h)
                 lv = self.r.read_symbol(
                     self.cdf["CoeffBase"][txszctx][pt][bctx], 4)
             if lv > 2:
@@ -666,8 +716,8 @@ class MiniDecoder:
         self.set_ctx(plane, x4, y4, w4, h4, cul | (dc_sign << 6))
         off = len(self.coeff_out)
         self.coeff_out.extend(int(v) for v in quant)
-        av = int(x4 > 0) | (int(y4 > 0) << 1)
-        self.tx_records += [plane, x4, y4, tsz, tx_type, eob, off, mi, av]
+        self.tx_records += [plane, x4, y4, tsz, tx_type, eob, off, mi,
+                            self.cur_avail]
 
     def read_tx_type(self, plane, tsz, ymode, uv_mode, fi_mode):
         red = self.hdr["reduced_tx_set"]
@@ -706,10 +756,12 @@ class MiniDecoder:
             top = 0
             lft = 0
             for i in range(w4):
-                top |= int(self.above_ctx[plane][x4 + i]) & 63
+                top |= int(self.above_ctx[plane][x4 + i])
             for i in range(h4):
-                lft |= int(self.left_ctx[plane][y4 + i]) & 63
-            return sk[min(top, 4)][min(lft, 4)]
+                lft |= int(self.left_ctx[plane][y4 + i])
+            top &= 63
+            lft &= 63
+            return sk[min(min(top, lft), 4)][min(top | lft, 4)]
         a = 0
         l = 0
         for i in range(w4):
@@ -732,8 +784,11 @@ class MiniDecoder:
         return 1 if s < 0 else 2 if s > 0 else 0
 
     @staticmethod
-    def base_ctx(levels, pos, bwl, stride, cls):
+    def base_ctx(levels, pos, bwl, stride, cls, height=None):
         row, col = pos >> bwl, pos & ((1 << bwl) - 1)
+        width = 1 << bwl
+        if height is None:
+            height = width
         p = row * stride + col
         mag = min(int(levels[p + 1]), 3) + min(int(levels[p + stride]), 3)
         if cls == 0:
@@ -752,9 +807,14 @@ class MiniDecoder:
         if cls == 0:
             if pos == 0:
                 return 0
-            off2 = [[0, 1, 6, 6, 21], [1, 6, 6, 21, 21], [6, 6, 21, 21, 21],
-                    [6, 21, 21, 21, 21], [21, 21, 21, 21, 21]]
-            return ctx + off2[min(row, 4)][min(col, 4)]
+            if width < height and row < 2:
+                off = 11
+            elif width > height and col < 2:
+                off = 16
+            else:
+                rc = min(row, 4) + min(col, 4)
+                off = 1 if rc < 2 else 6 if rc < 4 else 21
+            return ctx + off
         idx = row if cls == 2 else col
         off = 0 if idx == 0 else 5 if idx == 1 else 10
         return 26 + ctx + off
