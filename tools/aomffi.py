@@ -386,6 +386,7 @@ class AomEncoder:
         threads: int = 2,
         options: Optional[List[Tuple[str, str]]] = None,
         monochrome: bool = False,
+        end_usage: Optional[int] = None,  # 0=VBR 1=CBR 2=CQ 3=Q
     ) -> None:
         a = abi()
         self.w, self.h = w, h
@@ -411,6 +412,8 @@ class AomEncoder:
             set32(a.cfg_g_lag_in_frames, lag)
         if monochrome:
             set32(a.cfg_monochrome, 1)
+        if end_usage is not None:
+            set32(a.cfg_rc_end_usage, end_usage)
         hbd = bit_depth > 8
         if hbd:
             set32(a.cfg_g_bit_depth, bit_depth)
