@@ -172,7 +172,18 @@ class FrameRecon:
             else:
                 out = pred
             frame[y: y + h, x: x + w] = out
+        self._postfilter()
         return self.planes
+
+    def _postfilter(self):
+        """In-loop filter chain: deblock (-> cdef -> lr, when present).
+        [SPEC §7.14-7.17]"""
+        lf = self.hdr.get("lf") or {}
+        levels = lf.get("level", [0, 0, 0, 0])
+        if any(levels):
+            from av1dec_tpu.ops.spec import deblock
+            deblock.deblock_frame(self.planes, self.seq, self.hdr,
+                                  self.plans, self.bd)
 
     def _palette_pred(self, plane, mi_r, mi_c, x, y, w, h):
         # find the palette record for this block

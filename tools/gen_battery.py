@@ -62,6 +62,15 @@ CASES = {
     "oddchroma":  dict(w=65, h=33, n=1, cq=8),
     "q100":       dict(w=96, h=64, n=1, cq=40),
     "q200":       dict(w=96, h=64, n=1, cq=55),
+    "q255":       dict(w=128, h=128, n=1, cq=63),
+    "q_sharp":    dict(w=96, h=96, n=1, cq=55,
+                       extra=[("sharpness", "4")]),
+    "q_dlf":      dict(w=128, h=96, n=1, cq=55,
+                       extra=[("deltaq-mode", "1"), ("delta-lf-mode", "1")]),
+    "bd10_q":     dict(w=96, h=96, n=1, cq=55, bit_depth=10),
+    "big_q":      dict(w=320, h=240, n=2, cq=50),
+    "mono_q":     dict(w=96, h=96, n=1, cq=55, mono=True),
+    "i444_q":     dict(w=96, h=96, n=1, cq=55, subsampling=(0, 0)),
 }
 
 
