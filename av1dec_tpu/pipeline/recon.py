@@ -184,6 +184,9 @@ class FrameRecon:
             from av1dec_tpu.ops.spec import deblock
             deblock.deblock_frame(self.planes, self.seq, self.hdr,
                                   self.plans, self.bd)
+        from av1dec_tpu.ops.spec import cdef
+        cdef.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
+                        self.bd)
 
     def _palette_pred(self, plane, mi_r, mi_c, x, y, w, h):
         # find the palette record for this block

@@ -71,6 +71,16 @@ CASES = {
     "big_q":      dict(w=320, h=240, n=2, cq=50),
     "mono_q":     dict(w=96, h=96, n=1, cq=55, mono=True),
     "i444_q":     dict(w=96, h=96, n=1, cq=55, subsampling=(0, 0)),
+    "cdef":       dict(w=128, h=96, n=1, cq=55,
+                       extra=[("enable-cdef", "1")]),
+    "cdef_big":   dict(w=320, h=240, n=1, cq=60,
+                       extra=[("enable-cdef", "1")]),
+    "cdef_444":   dict(w=96, h=96, n=1, cq=55, subsampling=(0, 0),
+                       extra=[("enable-cdef", "1")]),
+    "cdef_bd10":  dict(w=96, h=96, n=1, cq=55, bit_depth=10,
+                       extra=[("enable-cdef", "1")]),
+    "cdef_mono":  dict(w=96, h=96, n=1, cq=58, mono=True,
+                       extra=[("enable-cdef", "1")]),
 }
 
 
