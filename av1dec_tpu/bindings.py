@@ -65,7 +65,7 @@ MI_FIELDS = [
 ]
 TXR_FIELDS = ["plane", "x4", "y4", "tx_size", "tx_type", "eob", "coef_off",
               "mi", "avail"]
-N_LR_I32 = 12  # sizeof(LrUnit)/4
+N_LR_I32 = 13  # sizeof(LrUnit)/4: plane,row,col,type,wiener[2][3],set,xqd[2]
 
 
 class FramePlans:

@@ -68,7 +68,7 @@ class TileDecoder {
   // loop restoration
   void read_lr(int r, int c, int bSize);
   void read_lr_unit(int plane, int unitRow, int unitCol);
-  int decode_subexp_bool(int numSyms);
+  int decode_subexp_bool(int numSyms, int k);
   int decode_signed_subexp_with_ref_bool(int low, int high, int k, int ref);
 
   const SequenceHeader& seq_;

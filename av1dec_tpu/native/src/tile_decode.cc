@@ -77,11 +77,15 @@ const int kSgrXqdMax[2] = {31, 95};
 constexpr int SGRPROJ_PRJ_SUBEXP_K = 4;
 constexpr int SGRPROJ_PRJ_BITS = 7;
 // Sgr_Params[set] = {r0, e0, r1, e1} [SPEC §9.3]
+// Sgr_Params[set] = {r0, s0, r1, s1} [SPEC §7.17.3]; cross-validated
+// against libaom's av1_sgr_params .rodata (r0,r1,s0,s1 layout).
 const int kSgrParams[16][4] = {
-    {2, 12, 1, 4},  {2, 15, 1, 6},  {2, 18, 1, 9},  {2, 21, 1, 12},
-    {2, 24, 1, 14}, {2, 29, 1, 18}, {2, 36, 1, 24}, {2, 45, 1, 32},
-    {2, 56, 1, 40}, {2, 68, 1, 48}, {2, 80, 1, 53}, {2, 95, 1, 56},
-    {0, 0, 1, 5},   {0, 0, 1, 8},   {0, 0, 1, 14},  {0, 0, 1, 21}};
+    {2, 140, 1, 3236}, {2, 112, 1, 2158}, {2, 93, 1, 1618},
+    {2, 80, 1, 1438},  {2, 70, 1, 1295},  {2, 58, 1, 1177},
+    {2, 47, 1, 1079},  {2, 37, 1, 996},   {2, 30, 1, 925},
+    {2, 25, 1, 863},   {0, 0, 1, 2589},   {0, 0, 1, 1618},
+    {0, 0, 1, 1177},   {0, 0, 1, 925},    {2, 56, 0, 0},
+    {2, 22, 0, 0}};
 
 const int8_t kPaletteColorContext[9] = {-1, -1, 0, -1, -1, 4, 3, 2, 1};
 const int kPaletteHashMult[3] = {1, 2, 2};
@@ -117,9 +121,11 @@ int neg_deinterleave(int diff, int ref, int max) {
 }
 
 int inverse_recenter_i(int r, int v) {
+  // [SPEC §8.?] odd v recenters BELOW r, even v above (libaom
+  // inv_recenter_nonneg)
   if (v > 2 * r) return v;
-  if (v & 1) return r + ((v + 1) >> 1);
-  return r - (v >> 1);
+  if (v & 1) return r - ((v + 1) >> 1);
+  return r + (v >> 1);
 }
 
 }  // namespace
@@ -240,8 +246,8 @@ void TileDecoder::clear_block_decoded(int sb_r, int sb_c, int sb4) {
 // Loop restoration coefficients [SPEC §5.11.57-58]
 // ---------------------------------------------------------------------------
 
-int TileDecoder::decode_subexp_bool(int numSyms) {
-  int i = 0, mk = 0, k = 3;
+int TileDecoder::decode_subexp_bool(int numSyms, int k) {
+  int i = 0, mk = 0;
   while (1) {
     int b2 = i ? k + i - 1 : k;
     int a = 1 << b2;
@@ -267,10 +273,9 @@ int TileDecoder::decode_subexp_bool(int numSyms) {
 
 int TileDecoder::decode_signed_subexp_with_ref_bool(int low, int high, int k,
                                                     int ref) {
-  (void)k;
   int mx = high - low;
   int rr = ref - low;
-  int v = decode_subexp_bool(mx);
+  int v = decode_subexp_bool(mx, k);
   int x;
   if ((rr << 1) <= mx) {
     x = inverse_recenter_i(rr, v);

@@ -127,17 +127,21 @@ def _filter_lines(P, Q, length, limit, blimit, thresh, bd):
     outp = [x.copy() for x in p]
     outq = [x.copy() for x in q]
 
-    # wide 13-tap (length 14, luma): for each output, a radius-7 window
-    # over [p6..q6] with border replication plus the center sample again
-    # (16 weights, >>4) — the AV1 analogue of VP9's wide filter.
+    # wide 13-tap (length 14, luma): border-replicated window with a
+    # doubled sliding triple centered on the output (16 weights, >>4).
+    # Derived from the oracle by exact-interval fitting; equals libaom's
+    # filter14 weight rows.
     w14 = mask & (length == 14) & flat8 & flat2
     if w14.any():
         S = [p[6], p[5], p[4], p[3], p[2], p[1], p[0],
              q[0], q[1], q[2], q[3], q[4], q[5], q[6]]
 
         def wide(i):
-            acc = S[i].copy()
-            for j in range(i - 7, i + 8):
+            # weights: clip window [i-7, i+7] + extra copies of the
+            # doubled triple S[i-1], S[i], S[i+1] (clipped)
+            acc = S[min(max(i - 1, 0), 13)] + S[i] + \
+                S[min(max(i + 1, 0), 13)]
+            for j in range(i - 6, i + 7):
                 acc = acc + S[min(max(j, 0), 13)]
             return rnd(acc, 4)
 

@@ -184,9 +184,16 @@ class FrameRecon:
             from av1dec_tpu.ops.spec import deblock
             deblock.deblock_frame(self.planes, self.seq, self.hdr,
                                   self.plans, self.bd)
+        lr_types = (self.hdr.get("lr") or {}).get(
+            "frame_restoration_type", [0, 0, 0])
+        pre_cdef = [p.copy() for p in self.planes] if any(lr_types) else None
         from av1dec_tpu.ops.spec import cdef
         cdef.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
                         self.bd)
+        if any(lr_types):
+            from av1dec_tpu.ops.spec import lr
+            lr.lr_frame(self.planes, pre_cdef, self.seq, self.hdr,
+                        self.plans, self.bd)
 
     def _palette_pred(self, plane, mi_r, mi_c, x, y, w, h):
         # find the palette record for this block

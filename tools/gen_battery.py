@@ -81,6 +81,15 @@ CASES = {
                        extra=[("enable-cdef", "1")]),
     "cdef_mono":  dict(w=96, h=96, n=1, cq=58, mono=True,
                        extra=[("enable-cdef", "1")]),
+    "lr":         dict(w=192, h=128, n=1, cq=50,
+                       extra=[("enable-restoration", "1")]),
+    "lr_cdef":    dict(w=192, h=160, n=1, cq=58,
+                       extra=[("enable-restoration", "1"),
+                              ("enable-cdef", "1")]),
+    "lr_bd10":    dict(w=128, h=96, n=1, cq=50, bit_depth=10,
+                       extra=[("enable-restoration", "1")]),
+    "lr_444":     dict(w=128, h=96, n=1, cq=50, subsampling=(0, 0),
+                       extra=[("enable-restoration", "1")]),
 }
 
 

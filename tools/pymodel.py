@@ -214,6 +214,14 @@ def scan_order(tx_size, tx_type):
     return out, w, h
 
 
+def _inverse_recenter(r, v):
+    if v > 2 * r:
+        return v
+    if v & 1:
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
+
+
 class MiniDecoder:
     """Intra-frame spec-model decoder over one tile."""
 
@@ -272,6 +280,11 @@ class MiniDecoder:
     def palettes(self):
         return []
 
+    @property
+    def lr(self):
+        return np.array(getattr(self, "lr_units", []),
+                        dtype=np.int64).reshape(-1, 13)
+
     def grid(self, name):
         return {
             "mode": self.mode, "uv_mode": self.uv_modeg,
@@ -309,7 +322,113 @@ class MiniDecoder:
                     bd[0:min(sh, sh4 - 1) + 2, 0] = 1    # col -1
                     bd[sh+1, 0] = 0     # below-left corner [sbSize4][-1]
                 sb = 15 if self.sb4 == 16 else 16  # BLOCK_64X64/128
+                self.read_lr(r, c)
                 self.decode_partition(r, c, 12 if self.sb4 == 16 else 15)
+
+    # ---- loop restoration syntax [SPEC 5.11.57-58] ----
+    WIENER_TAPS_MIN = [-5, -23, -17]
+    WIENER_TAPS_MAX = [10, 8, 46]
+    WIENER_TAPS_K = [1, 2, 3]
+    SGR_XQD_MIN = [-96, -32]
+    SGR_XQD_MAX = [31, 95]
+    SGR_RADII = [(2, 1)] * 10 + [(0, 1)] * 4 + [(2, 0)] * 2
+
+    def read_lr(self, r, c):
+        if self.hdr.get("allow_intrabc"):
+            return
+        if not hasattr(self, "lr_units"):
+            self.lr_units = []
+            self.lr_ref_w = [[[3, -7, 15], [3, -7, 15]] for _ in range(3)]
+            self.lr_ref_s = [[-32, 31] for _ in range(3)]
+        for plane in range(1 if self.seq.get("mono_chrome") else 3):
+            frt = self.hdr["lr"]["frame_restoration_type"][plane]
+            if frt == 0:
+                continue
+            sx = self.sub_x if plane else 0
+            sy = self.sub_y if plane else 0
+            size = self.hdr["lr"]["loop_restoration_size"][plane]
+            rows = max((((self.hdr["frame_height"] + sy) >> sy)
+                        + (size >> 1)) // size, 1)
+            cols = max((((self.hdr["upscaled_width"] + sx) >> sx)
+                        + (size >> 1)) // size, 1)
+            r0 = (r * (4 >> sy) + size - 1) // size
+            r1 = min(rows, ((r + self.sb4) * (4 >> sy) + size - 1) // size)
+            num, den = 4 >> sx, size
+            if self.hdr.get("use_superres"):
+                num = (4 >> sx) * self.hdr["superres_denom"]
+                den = size * 8
+            c0 = (c * num + den - 1) // den
+            c1 = min(cols, ((c + self.sb4) * num + den - 1) // den)
+            for ur in range(r0, r1):
+                for uc in range(c0, c1):
+                    self.read_lr_unit(plane, ur, uc, frt)
+
+    def read_lr_unit(self, plane, ur, uc, frt):
+        rec = [plane, ur, uc, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        if frt == 1:
+            typ = 1 if self.r.read_bool(self.cdf["WienerRestore"]) else 0
+        elif frt == 2:
+            typ = 2 if self.r.read_bool(self.cdf["SgrprojRestore"]) else 0
+        else:
+            typ = self.r.read_symbol(self.cdf["SwitchableRestore"], 3)
+        rec[3] = typ
+        if typ == 1:  # wiener
+            for p in range(2):
+                first = 1 if plane else 0
+                for j in range(first, 3):
+                    v = self._subexp_signed(
+                        self.WIENER_TAPS_MIN[j], self.WIENER_TAPS_MAX[j] + 1,
+                        self.WIENER_TAPS_K[j], self.lr_ref_w[plane][p][j])
+                    rec[4 + p * 3 + j] = v
+                    self.lr_ref_w[plane][p][j] = v
+        elif typ == 2:  # sgrproj
+            s = self.r.read_literal(4)
+            rec[10] = s
+            for i in range(2):
+                rad = self.SGR_RADII[s][i]
+                if rad:
+                    v = self._subexp_signed(
+                        self.SGR_XQD_MIN[i], self.SGR_XQD_MAX[i] + 1, 4,
+                        self.lr_ref_s[plane][i])
+                else:
+                    v = 0
+                    if i == 1:
+                        v = max(self.SGR_XQD_MIN[1],
+                                min(self.SGR_XQD_MAX[1], 128 - rec[11]))
+                rec[11 + i] = v
+                self.lr_ref_s[plane][i] = v
+        self.lr_units.append(rec)
+
+    def _subexp_signed(self, low, high, k, ref):
+        mx = high - low
+        rr = ref - low
+        v = self._subexp_bool(mx, k)
+        if (rr << 1) <= mx:
+            x = _inverse_recenter(rr, v)
+        else:
+            x = mx - 1 - _inverse_recenter(mx - 1 - rr, v)
+        return x + low
+
+    def _subexp_bool(self, num_syms, k):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                n = num_syms - mk
+                w = n.bit_length()
+                m = (1 << w) - n
+                v = self.r.read_literal(w - 1)
+                if v < m:
+                    return v + mk
+                extra = self.r.read_literal(1)
+                return ((v << 1) - m + extra) + mk
+            if self.r.read_literal(1):
+                i += 1
+                mk += a
+            else:
+                return self.r.read_literal(b2) + mk
 
     # ---- partition ----
     def decode_partition(self, r, c, bsize):
