@@ -68,22 +68,20 @@ class FrameRecon:
         above_smooth = 0
         left_smooth = 0
         if have_above:
-            cand_r, cand_c = mi_r - 1, mi_c
-            if plane > 0:
-                if self.sub_x and not (mi_c & 1):
-                    cand_c += 1
-                if self.sub_y and (mi_r & 1):
-                    cand_r -= 1
+            if plane == 0:
+                cand_r, cand_c = mi_r - 1, mi_c
+            else:
+                # mi above the CHROMA block, at its reference column
+                cand_r = (mi_r & ~self.sub_y) - 1
+                cand_c = mi_c | self.sub_x
             above_smooth = is_smooth(cand_r, cand_c)
         if have_left:
-            cand_r, cand_c = mi_r, mi_c - 1
-            if plane > 0:
-                if self.sub_x and (mi_c & 1) == 0 and False:
-                    pass
-                if self.sub_y and not (mi_r & 1):
-                    cand_r += 1
-                if self.sub_x and (mi_c & 1):
-                    cand_c -= 0
+            if plane == 0:
+                cand_r, cand_c = mi_r, mi_c - 1
+            else:
+                # mi left of the CHROMA block, at its reference row
+                cand_r = mi_r | self.sub_y
+                cand_c = (mi_c & ~self.sub_x) - 1
             left_smooth = is_smooth(cand_r, cand_c)
         return int(above_smooth or left_smooth)
 
