@@ -1242,11 +1242,19 @@ void TileDecoder::transform_block(int plane, int baseX, int baseY, int txSz,
 
 void TileDecoder::set_coeff_contexts(int plane, int x4, int y4, int w4,
                                      int h4, uint8_t v) {
+  // For transform blocks overhanging the frame edge, the value is only
+  // stored for the within-frame cells; the rest are cleared (libaom
+  // av1_set_entropy_contexts edge handling).
+  int subx = plane ? seq_.subsampling_x : 0;
+  int suby = plane ? seq_.subsampling_y : 0;
+  int ncols = mi_cols_ >> subx;  // plane 4x4 cells to the frame edge
+  int nrows = mi_rows_ >> suby;
   auto& above = above_ctx_[plane];
   auto& left = left_ctx_[plane];
   for (int i = 0; i < w4 && x4 + i < (int)above.size(); i++)
-    above[x4 + i] = v;
-  for (int i = 0; i < h4 && y4 + i < (int)left.size(); i++) left[y4 + i] = v;
+    above[x4 + i] = (x4 + i < ncols) ? v : 0;
+  for (int i = 0; i < h4 && y4 + i < (int)left.size(); i++)
+    left[y4 + i] = (y4 + i < nrows) ? v : 0;
 }
 
 int TileDecoder::read_tx_type(int plane, int txSz, int* out_type) {

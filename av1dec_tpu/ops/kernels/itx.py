@@ -1,0 +1,88 @@
+"""Batched inverse transforms on device (JAX). [SPEC §7.13.3]
+
+Reuses the integer butterfly structures from the NumPy spec model
+(`ops.spec.itx`): the 1-D kernels there operate on *lists of lane
+arrays* using only +, -, *, >> — so tracing them with jnp arrays yields
+a fully vectorized, jit-compilable integer transform over a batch of
+transform blocks.  All shapes static per (tx_size, tx_type) bucket: the
+decoder groups transform blocks into buckets and launches one jitted
+call per bucket.
+
+int32 throughout: AV1 inverse transforms are specified to fit int32
+intermediates for valid conformant streams (libaom uses int32 too).
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from av1dec_tpu.ops.spec import itx as S
+
+
+def _round_shift(x, bit):
+    if bit == 0:
+        return x
+    return (x + (1 << (bit - 1))) >> bit
+
+
+def _apply_1d(kind, vecs, n):
+    if kind == 0:
+        return S._DCT[n](vecs)
+    if kind == 1:
+        return S._ADST[n](vecs)
+    return S.iidentity(vecs, n)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def inverse_transform_batch(coeffs, tx_size, tx_type):
+    """coeffs: [B, adj_h, adj_w] int32 (coded layout, 64->32 clipped).
+    Returns residual [B, h, w] int32."""
+    w, h = S.TX_DIMS[tx_size]
+    adj_w, adj_h = min(w, 32), min(h, 32)
+    ck, rk, ud, lr = S.TX_1D[tx_type]
+    coeffs = coeffs.astype(jnp.int32)
+    buf = jnp.zeros((coeffs.shape[0], h, w), jnp.int32)
+    buf = buf.at[:, :adj_h, :adj_w].set(coeffs)
+
+    if (int(math.log2(w)) - int(math.log2(h))) % 2 != 0:
+        buf = _round_shift(buf * S.NEW_INV_SQRT2, S.COS_BIT)
+
+    # row transforms along width; lanes are [B, h]
+    cols_in = [buf[:, :, j] for j in range(w)]
+    rows_out = _apply_1d(rk, cols_in, w)
+    buf = jnp.stack(rows_out, axis=2)            # [B, h, w]
+    buf = _round_shift(buf, S._ROW_SHIFT[(w, h)])
+    rows_in = [buf[:, r, :] for r in range(h)]
+    cols_out = _apply_1d(ck, rows_in, h)
+    res = jnp.stack(cols_out, axis=1)            # [B, h, w]
+    res = _round_shift(res, 4)
+    if ud:
+        res = res[:, ::-1, :]
+    if lr:
+        res = res[:, :, ::-1]
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def dequant_batch(levels, qvec, tx_size, bd, lossless):
+    """levels: [B, n] int32, qvec: [B, n] int32 dequant factors
+    (dc at position 0, ac elsewhere, precomputed on host).
+    Returns dequantized coeffs [B, n] int32. [SPEC §7.12.3]"""
+    # Tx_Scale: square-up 32 -> >>1, square-up 64 -> >>2
+    shift = {3: 1, 9: 1, 10: 1, 15: 1, 16: 1,
+             4: 2, 11: 2, 12: 2, 17: 2, 18: 2}.get(tx_size, 0)
+    # tx_scale shift by sqr-up size [SPEC 7.12.3 Dequantization]
+    d = (levels * qvec) & 0xFFFFFF
+    return d >> shift
+
+
+def residual_step(levels, qvec, pred, tx_size, tx_type, bd):
+    """Fused device step: dequant -> inverse transform -> add -> clamp.
+    levels [B, adj_h*adj_w], qvec [B, adj_h*adj_w], pred [B, h, w]."""
+    w, h = S.TX_DIMS[tx_size]
+    adj_w, adj_h = min(w, 32), min(h, 32)
+    dq = dequant_batch(levels, qvec, tx_size, bd, False)
+    res = inverse_transform_batch(
+        dq.reshape(-1, adj_h, adj_w), tx_size, tx_type)
+    return jnp.clip(pred + res, 0, (1 << bd) - 1)

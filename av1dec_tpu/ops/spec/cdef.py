@@ -151,7 +151,9 @@ def cdef_frame(planes, seq, hdr, plans, bd):
             uv_pri = c["uv_pri"][idx] << coeff_shift
             uv_sec = c["uv_sec"][idx] << coeff_shift
             dirn, var = 0, 0
-            if y_pri:
+            if y_pri or uv_pri:
+                # direction always estimated from luma; each plane then
+                # uses it only when its own primary strength is nonzero
                 y0, x0 = r * 4, col * 4
                 blk = srcs[0][y0:y0 + 8, x0:x0 + 8]
                 if blk.shape == (8, 8):
@@ -171,11 +173,12 @@ def cdef_frame(planes, seq, hdr, plans, bd):
                 _filter_unit(srcs[0], dsts[0], r * 4, col * 4,
                              min(8, mi_rows * 4 - r * 4),
                              min(8, mi_cols * 4 - col * 4),
-                             pri_adj, y_sec, damping, dirn, bd, coeff_shift)
+                             pri_adj, y_sec, damping,
+                             dirn if y_pri else 0, bd, coeff_shift)
             if len(planes) > 1 and (uv_pri or uv_sec):
-                uvdir = dirn
-                if subx != suby:
-                    # 4:2:2 direction remap [libaoim cdef conv422]
+                uvdir = dirn if uv_pri else 0
+                if subx != suby and uv_pri:
+                    # 4:2:2 direction remap [libaom cdef conv422]
                     uvdir = [7, 0, 2, 4, 5, 6, 6, 6][dirn] if subx else dirn
                 uh = min(8 >> suby, (mi_rows * 4 >> suby) - (r * 4 >> suby))
                 uw = min(8 >> subx, (mi_cols * 4 >> subx) -

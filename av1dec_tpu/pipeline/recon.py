@@ -43,10 +43,19 @@ class FrameRecon:
         self.mi_rows = plans.mi_rows
         self.mi_cols = plans.mi_cols
         h, w = self.mi_rows * 4, self.mi_cols * 4
-        self.planes = [np.zeros((h, w), dtype=np.int64)]
+        # allocate to superblock multiples: blocks/transforms may overhang
+        # the frame bottom/right [SPEC partition semantics]; the overhang
+        # is reconstructed but cropped before the filter chain
+        sb = 128 if seq.get("use_128x128_superblock") else 64
+        ha = (h + sb - 1) // sb * sb
+        wa = (w + sb - 1) // sb * sb
+        self._alloc = [np.zeros((ha, wa), dtype=np.int64)]
         for _ in range(self.num_planes - 1):
-            self.planes.append(
-                np.zeros((h >> self.sub_y, w >> self.sub_x), dtype=np.int64))
+            self._alloc.append(
+                np.zeros((ha >> self.sub_y, wa >> self.sub_x),
+                         dtype=np.int64))
+        self.planes = [self._alloc[0][:h, :w]] + [
+            a[:h >> self.sub_y, :w >> self.sub_x] for a in self._alloc[1:]]
         self.enable_edge_filter = bool(seq["enable_intra_edge_filter"])
 
     # -- helpers over the mi grid ----------------------------------------
@@ -97,7 +106,7 @@ class FrameRecon:
             sub_x = self.sub_x if plane else 0
             sub_y = self.sub_y if plane else 0
             x, y = x4 * 4, y4 * 4
-            frame = self.planes[plane]
+            frame = self._alloc[plane]
             plane_h = (self.mi_rows * 4) >> sub_y
             plane_w = (self.mi_cols * 4) >> sub_x
             # on-screen tx dims (blocks can overhang the mi area? no —
@@ -131,7 +140,7 @@ class FrameRecon:
                     have_below_left, self.bd, ftype,
                     self.enable_edge_filter, fi_mode)
                 if is_cfl:
-                    luma = self.planes[0]
+                    luma = self._alloc[0]
                     signs = self.g("cfl_signs", mi_r, mi_c)
                     alpha_idx = self.g("cfl_alpha_idx", mi_r, mi_c)
                     # luma extent for this block (clamped to plane dims)

@@ -743,8 +743,16 @@ class MiniDecoder:
             (have_bl << 3)
 
     def set_ctx(self, plane, x4, y4, w4, h4, v):
+        # beyond-frame cells of overhanging txs are cleared, not set
+        sx = self.sub_x if plane else 0
+        sy = self.sub_y if plane else 0
+        ncols, nrows = self.mi_cols >> sx, self.mi_rows >> sy
         self.above_ctx[plane][x4: x4 + w4] = v
         self.left_ctx[plane][y4: y4 + h4] = v
+        if x4 + w4 > ncols:
+            self.above_ctx[plane][max(x4, ncols): x4 + w4] = 0
+        if y4 + h4 > nrows:
+            self.left_ctx[plane][max(y4, nrows): y4 + h4] = 0
 
     def read_coeffs(self, plane, sx, sy, tsz, bsize, ymode, uv_mode, fi_mode,
                mi=0):
