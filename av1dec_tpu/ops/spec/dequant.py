@@ -42,3 +42,17 @@ def dequant_block(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q,
     mag = (np.abs(lv) * q) & 0xFFFFFF
     mag >>= shift
     return np.where(lv < 0, -mag, mag)
+
+
+def dequant_batch(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q):
+    """Vectorized dequant: levels [B, n]; qindex/dc_delta_q/ac_delta_q
+    per-block [B] arrays.  Non-lossless only."""
+    bi = _BD_IDX[bd]
+    dcq = DC_Q[bi, np.clip(qindex + dc_delta_q, 0, 255)].astype(np.int64)
+    acq = AC_Q[bi, np.clip(qindex + ac_delta_q, 0, 255)].astype(np.int64)
+    lv = np.asarray(levels, dtype=np.int64)
+    q = np.broadcast_to(acq[:, None], lv.shape).copy()
+    q[:, 0] = dcq
+    shift = tx_scale_shift(tx_size)
+    mag = ((np.abs(lv) * q) & 0xFFFFFF) >> shift
+    return np.where(lv < 0, -mag, mag)

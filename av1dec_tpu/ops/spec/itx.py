@@ -462,6 +462,34 @@ def _apply_1d(kind, vecs, n):
     return iidentity(vecs, n)
 
 
+def inverse_transform_lanes(coeffs, tx_size, tx_type):
+    """Batched inverse transform: coeffs [B, adj_h*adj_w] (coded layout),
+    returns [B, h, w].  Same math as inverse_transform — the 1-D kernels
+    are lane-vectorized, so the batch rides along as an extra axis."""
+    w, h = TX_DIMS[tx_size]
+    adj_w, adj_h = min(w, 32), min(h, 32)
+    ck, rk, ud, lr = TX_1D[tx_type]
+    B = coeffs.shape[0]
+    buf = np.zeros((B, h, w), dtype=np.int64)
+    buf[:, :adj_h, :adj_w] = np.asarray(coeffs, np.int64).reshape(
+        B, adj_h, adj_w)
+    if (int(math.log2(w)) - int(math.log2(h))) % 2 != 0:
+        buf = round_shift(buf * NEW_INV_SQRT2, COS_BIT)
+    cols_in = [buf[:, :, j] for j in range(w)]          # lanes [B, h]
+    rows_out = _apply_1d(rk, cols_in, w)
+    buf = np.stack(rows_out, axis=2)
+    buf = round_shift(buf, _ROW_SHIFT[(w, h)])
+    rows_in = [buf[:, r, :] for r in range(h)]          # lanes [B, w]
+    cols_out = _apply_1d(ck, rows_in, h)
+    res = np.stack(cols_out, axis=1)
+    res = round_shift(res, 4)
+    if ud:
+        res = res[:, ::-1, :]
+    if lr:
+        res = res[:, :, ::-1]
+    return res
+
+
 def inverse_transform(coeffs, tx_size, tx_type):
     """coeffs: flat int array in coded (adjusted, <=32x32) row-major
     layout; returns residual (h, w) int64."""

@@ -95,10 +95,65 @@ class FrameRecon:
         return int(above_smooth or left_smooth)
 
     # -- main -------------------------------------------------------------
+    def _precompute_residuals(self):
+        """Batch dequant + inverse transform for all coded tx blocks,
+        bucketed by (tx_size, tx_type): the residual path has no
+        dependency on reconstruction order, so it vectorizes freely
+        (mirrors the device-side batched kernel layout)."""
+        plans = self.plans
+        q = self.hdr["quant"]
+        buckets = {}
+        for i, rec in enumerate(plans.tx):
+            eob = int(rec[5])
+            if eob <= 0:
+                continue
+            buckets.setdefault((int(rec[3]), int(rec[4])), []).append(i)
+        res = {}
+        for (tsz, tt), idxs in buckets.items():
+            w, h = (4, 4) if tsz == 19 else TX_DIMS[tsz]
+            aw, ah = (4, 4) if tsz == 19 else (min(w, 32), min(h, 32))
+            n = aw * ah
+            B = len(idxs)
+            levels = np.zeros((B, n), np.int64)
+            qidx = np.zeros(B, np.int64)
+            dcd = np.zeros(B, np.int64)
+            acd = np.zeros(B, np.int64)
+            lossless = np.zeros(B, bool)
+            for b, i in enumerate(idxs):
+                rec = plans.tx[i]
+                off = int(rec[6])
+                levels[b] = plans.coeffs[off: off + n]
+                mi = int(rec[7])
+                mi_r, mi_c = mi // self.mi_cols, mi % self.mi_cols
+                qidx[b] = self.g("qindex", mi_r, mi_c)
+                lossless[b] = bool(self.g("lossless", mi_r, mi_c))
+                plane = int(rec[0])
+                if plane == 0:
+                    dcd[b], acd[b] = q["delta_q_y_dc"], 0
+                elif plane == 1:
+                    dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
+                else:
+                    dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
+            if tsz == 19 or lossless.any():
+                # lossless WHT: scalar per block (rare path)
+                for b, i in enumerate(idxs):
+                    dq = dequant.dequant_block(
+                        levels[b], tsz, int(qidx[b]), self.bd,
+                        int(dcd[b]), int(acd[b]), bool(lossless[b]))
+                    res[i] = itx.inverse_transform(dq, tsz, tt)
+                continue
+            dq = dequant.dequant_batch(levels, tsz, qidx, self.bd, dcd,
+                                       acd)
+            out = itx.inverse_transform_lanes(dq, tsz, tt)
+            for b, i in enumerate(idxs):
+                res[i] = out[b]
+        return res
+
     def run(self):
         plans = self.plans
         mi_cols = self.mi_cols
-        for rec in plans.tx:
+        residuals = self._precompute_residuals()
+        for rec_idx, rec in enumerate(plans.tx):
             (plane, x4, y4, tx_size, tx_type, eob, coef_off, mi, avail) = \
                 [int(v) for v in rec]
             mi_r, mi_c = mi // mi_cols, mi % mi_cols
@@ -153,28 +208,9 @@ class FrameRecon:
                     alpha = _alpha(signs, alpha_idx, plane)
                     pred = intra.cfl_predict(pred, ac, alpha, self.bd)
 
-            # ---- residual
-            if eob > 0:
-                qindex = self.g("qindex", mi_r, mi_c)
-                lossless = self.g("lossless", mi_r, mi_c)
-                q = self.hdr["quant"]
-                if plane == 0:
-                    dcd, acd = q["delta_q_y_dc"], 0
-                elif plane == 1:
-                    dcd, acd = q["delta_q_u_dc"], q["delta_q_u_ac"]
-                else:
-                    dcd, acd = q["delta_q_v_dc"], q["delta_q_v_ac"]
-                adj_w, adj_h = (4, 4) if tx_size == 19 else (
-                    min(w, 32), min(h, 32))
-                levels = plans.coeffs[coef_off: coef_off + adj_w * adj_h]
-                if lossless:
-                    # WHT path: dequant is q scale applied before WHT
-                    dq = dequant.dequant_block(levels, tx_size, qindex,
-                                               self.bd, dcd, acd, True)
-                else:
-                    dq = dequant.dequant_block(levels, tx_size, qindex,
-                                               self.bd, dcd, acd, False)
-                res = itx.inverse_transform(dq, tx_size, tx_type)
+            # ---- residual (precomputed, batched by tx bucket)
+            res = residuals.get(rec_idx)
+            if res is not None:
                 out = np.clip(pred + res, 0, (1 << self.bd) - 1)
             else:
                 out = pred
@@ -194,9 +230,9 @@ class FrameRecon:
         lr_types = (self.hdr.get("lr") or {}).get(
             "frame_restoration_type", [0, 0, 0])
         pre_cdef = [p.copy() for p in self.planes] if any(lr_types) else None
-        from av1dec_tpu.ops.spec import cdef
-        cdef.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
-                        self.bd)
+        from av1dec_tpu.ops.spec import cdef_vec
+        cdef_vec.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
+                            self.bd)
         if any(lr_types):
             from av1dec_tpu.ops.spec import lr
             lr.lr_frame(self.planes, pre_cdef, self.seq, self.hdr,
