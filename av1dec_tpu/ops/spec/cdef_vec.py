@@ -52,12 +52,9 @@ def _directions_all(luma, bd):
 
 
 def _shift_for(strength, damping):
-    s = np.maximum(strength, 1)
-    bl = np.zeros_like(s)
-    v = s.copy()
-    while (v > 0).any():
-        bl += (v > 1).astype(np.int64)
-        v >>= 1
+    """floor(log2) via float — exact for the small integer strengths."""
+    bl = np.floor(np.log2(np.maximum(strength, 1).astype(np.float64))
+                  ).astype(np.int32)
     return np.maximum(0, damping - bl)
 
 
@@ -69,19 +66,19 @@ def _constrain_v(diff, strength, shift):
     return out
 
 
-def _filter_plane(plane_arr, pri_px, sec_px, dir_px, damping_px, bd,
-                  coeff_shift, apply_px):
-    """Filter one plane wholesale.  All *_px are per-pixel int arrays."""
+def _filter_plane(plane_arr, pri_px, sec_px, dir_px, pri_shift, sec_shift,
+                  bd, coeff_shift, apply_px):
+    """Filter one plane wholesale.  All *_px are per-pixel int32 arrays."""
     H, W = plane_arr.shape
-    pad = np.full((H + 4, W + 4), CDEF_VERY_LARGE, np.int64)
+    pad = np.full((H + 4, W + 4), CDEF_VERY_LARGE, np.int32)
     pad[2:H + 2, 2:W + 2] = plane_arr
     yy, xx = np.mgrid[0:H, 0:W]
-    x = plane_arr.astype(np.int64)
-    total = np.zeros((H, W), np.int64)
+    yy = (yy + 2).astype(np.int32)
+    xx = (xx + 2).astype(np.int32)
+    x = plane_arr.astype(np.int32)
+    total = np.zeros((H, W), np.int32)
     mx = x.copy()
     mn = x.copy()
-    pri_shift = _shift_for(pri_px, damping_px)
-    sec_shift = _shift_for(sec_px, damping_px)
     pri_tap0 = np.where(((pri_px >> coeff_shift) & 1) == 0, 4, 3)
     pri_tap1 = np.where(((pri_px >> coeff_shift) & 1) == 0, 2, 3)
     sec_taps = (2, 1)
@@ -91,7 +88,7 @@ def _filter_plane(plane_arr, pri_px, sec_px, dir_px, damping_px, bd,
         dy = _DIR_DY[dir_px, k]
         dx = _DIR_DX[dir_px, k]
         for sgn in (1, -1):
-            p = pad[yy + sgn * dy + 2, xx + sgn * dx + 2]
+            p = pad[yy + sgn * dy, xx + sgn * dx]
             valid = p != CDEF_VERY_LARGE
             total += np.where(valid & (pri_px > 0),
                               tap_p * _constrain_v(p - x, pri_px,
@@ -104,7 +101,7 @@ def _filter_plane(plane_arr, pri_px, sec_px, dir_px, damping_px, bd,
             dy = _DIR_DY[(dir_px + rot) & 7, k]
             dx = _DIR_DX[(dir_px + rot) & 7, k]
             for sgn in (1, -1):
-                p = pad[yy + sgn * dy + 2, xx + sgn * dx + 2]
+                p = pad[yy + sgn * dy, xx + sgn * dx]
                 valid = p != CDEF_VERY_LARGE
                 total += np.where(valid & (sec_px > 0),
                                   sec_taps[k] * _constrain_v(
@@ -145,10 +142,10 @@ def cdef_frame(planes, seq, hdr, plans, bd):
     idx = cdef_mi[np.ix_(r0, c0)]
     active = (unit_skip == 0) & (idx >= 0)
     idxc = np.clip(idx, 0, nstr - 1)
-    y_pri_u = np.asarray(c["y_pri"], np.int64)[idxc] << coeff_shift
-    y_sec_u = np.asarray(c["y_sec"], np.int64)[idxc] << coeff_shift
-    uv_pri_u = np.asarray(c["uv_pri"], np.int64)[idxc] << coeff_shift
-    uv_sec_u = np.asarray(c["uv_sec"], np.int64)[idxc] << coeff_shift
+    y_pri_u = np.asarray(c["y_pri"], np.int32)[idxc] << coeff_shift
+    y_sec_u = np.asarray(c["y_sec"], np.int32)[idxc] << coeff_shift
+    uv_pri_u = np.asarray(c["uv_pri"], np.int32)[idxc] << coeff_shift
+    uv_sec_u = np.asarray(c["uv_sec"], np.int32)[idxc] << coeff_shift
 
     need_dir = (y_pri_u > 0) | (uv_pri_u > 0)
     dirs, var = _directions_all(planes[0], bd)
@@ -175,7 +172,9 @@ def cdef_frame(planes, seq, hdr, plans, bd):
         planes[0], expand(pri_adj, 8, 8, H, W),
         expand(np.where(active, y_sec_u, 0), 8, 8, H, W),
         expand(np.where(y_pri_u > 0, dirs, 0), 8, 8, H, W),
-        damping, bd, coeff_shift, expand(apply_y, 8, 8, H, W))
+        expand(_shift_for(pri_adj, damping), 8, 8, H, W),
+        expand(_shift_for(y_sec_u, damping), 8, 8, H, W),
+        bd, coeff_shift, expand(apply_y, 8, 8, H, W))
 
     if len(planes) > 1:
         uvdir = np.where(uv_pri_u > 0, dirs, 0)
@@ -191,6 +190,7 @@ def cdef_frame(planes, seq, hdr, plans, bd):
                                    ry, rx, Hc, Wc),
                 expand(np.where(active, uv_sec_u, 0), ry, rx, Hc, Wc),
                 expand(uvdir, ry, rx, Hc, Wc),
-                damping - 1, bd, coeff_shift,
-                expand(apply_uv, ry, rx, Hc, Wc))
+                expand(_shift_for(uv_pri_u, damping - 1), ry, rx, Hc, Wc),
+                expand(_shift_for(uv_sec_u, damping - 1), ry, rx, Hc, Wc),
+                bd, coeff_shift, expand(apply_uv, ry, rx, Hc, Wc))
     return planes

@@ -53,9 +53,7 @@ def main():
     datas = [d for _, d in aomffi.read_ivf(STREAM)]
     oracle = aomffi.oracle_decode_ivf(STREAM)
 
-    # --- ours (entropy front-half + pixel back-half), with verification
-    t0 = time.time()
-    n = 0
+    # --- verification pass (untimed)
     bad = 0
     p = NativeParser()
     for fi, d in enumerate(datas):
@@ -66,6 +64,14 @@ def main():
                     if x is not None]
             bad += sum(int((m[:r.shape[0], :r.shape[1]] != r).sum())
                        for m, r in zip(planes, refp))
+
+    # --- timed decode pass (entropy front-half + pixel back-half)
+    t0 = time.time()
+    n = 0
+    p = NativeParser()
+    for d in datas:
+        for hdr, plans in p.parse_tu(d, with_plans=True):
+            FrameRecon(p.seq, hdr, plans).run()
             n += 1
     mine = n / (time.time() - t0)
 
