@@ -62,7 +62,8 @@ class TileDecoder {
   int get_txb_skip_ctx(int plane, int txSz, int x4, int y4, int w4, int h4);
   int get_dc_sign_ctx(int plane, int x4, int y4, int w4, int h4);
   static int get_coeff_base_ctx(const uint8_t* levels, int pos, int bwl,
-                                int stride, int txClass, int height);
+                                int stride, int txClass, int realW,
+                                int realH);
   static int get_br_ctx(const uint8_t* levels, int pos, int bwl, int stride,
                         int txClass);
   // loop restoration

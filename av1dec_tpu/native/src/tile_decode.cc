@@ -1380,7 +1380,8 @@ int TileDecoder::coeffs(int plane, int startX, int startY, int txSz,
       level =
           r_.decode_symbol(cdf_->coeff_base_eob[txSzCtx][ptype][ctx], 3) + 1;
     } else {
-      int ctx = get_coeff_base_ctx(levels.data(), pos, bwl, stride, txClass, adjH);
+      int ctx = get_coeff_base_ctx(levels.data(), pos, bwl, stride, txClass,
+                                   tx_size_wide(txSz), tx_size_high(txSz));
       level = r_.decode_symbol(cdf_->coeff_base[txSzCtx][ptype][ctx], 4);
     }
     if (level > 2) {
@@ -1484,11 +1485,13 @@ int TileDecoder::get_dc_sign_ctx(int plane, int x4, int y4, int w4, int h4) {
 }
 
 int TileDecoder::get_coeff_base_ctx(const uint8_t* levels, int pos, int bwl,
-                                    int stride, int txClass, int height) {
+                                    int stride, int txClass, int realW,
+                                    int realH) {
   int row = pos >> bwl;
   int col = pos - (row << bwl);
   int p = row * stride + col;
-  int width = 1 << bwl;
+  // rect band rule decided by the REAL (unadjusted) tx shape
+  int width = realW, height = realH;
   int mag = std::min<int>(levels[p + 1], 3) +
             std::min<int>(levels[p + stride], 3);
   if (txClass == TX_CLASS_2D) {

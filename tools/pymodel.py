@@ -299,6 +299,13 @@ class MiniDecoder:
                                    self.hdr["quant"]["base_q_idx"]),
             "lossless": np.zeros_like(self.mode),
             "is_inter": np.zeros_like(self.mode),
+            "ref0": np.zeros_like(self.mode),
+            "delta_lf0": np.zeros_like(self.mode),
+            "delta_lf1": np.zeros_like(self.mode),
+            "delta_lf2": np.zeros_like(self.mode),
+            "delta_lf3": np.zeros_like(self.mode),
+            "seg_id": np.zeros_like(self.mode),
+            "cdef": np.zeros_like(self.mode),
         }[name]
 
     def decode_tile(self):
@@ -808,7 +815,8 @@ class MiniDecoder:
                 lv = self.r.read_symbol(
                     self.cdf["CoeffBaseEob"][txszctx][pt][ectx], 3) + 1
             else:
-                bctx = self.base_ctx(levels, pos, bwl, stride, cls, adj_h)
+                bctx = self.base_ctx(levels, pos, bwl, stride, cls, adj_h,
+                                     (TXW4[tsz] * 4, TXH4[tsz] * 4))
                 lv = self.r.read_symbol(
                     self.cdf["CoeffBase"][txszctx][pt][bctx], 4)
             if lv > 2:
@@ -911,11 +919,15 @@ class MiniDecoder:
         return 1 if s < 0 else 2 if s > 0 else 0
 
     @staticmethod
-    def base_ctx(levels, pos, bwl, stride, cls, height=None):
+    def base_ctx(levels, pos, bwl, stride, cls, height=None, real_wh=None):
+        # rect band rule uses the REAL (unadjusted) tx shape [libaom
+        # av1_nz_map_ctx_offset per-size tables]
         row, col = pos >> bwl, pos & ((1 << bwl) - 1)
         width = 1 << bwl
         if height is None:
             height = width
+        if real_wh is not None:
+            width, height = real_wh
         p = row * stride + col
         mag = min(int(levels[p + 1]), 3) + min(int(levels[p + stride]), 3)
         if cls == 0:
