@@ -797,7 +797,11 @@ int TileDecoder::intra_frame_mode_info() {
   if (has_chroma_) {
     int cfl_allowed;
     if (hdr_.lossless[segment_id_]) {
-      cfl_allowed = (bsize_ == BLOCK_4X4);
+      // lossless: CFL allowed iff the CHROMA residual block is 4x4
+      // [SPEC intra_frame_mode_info]
+      int cw4 = std::max(1, kBlockWidth4[bsize_] >> seq_.subsampling_x);
+      int ch4 = std::max(1, kBlockHeight4[bsize_] >> seq_.subsampling_y);
+      cfl_allowed = (cw4 == 1 && ch4 == 1);
     } else {
       cfl_allowed = kBlockWidth4[bsize_] <= 8 && kBlockHeight4[bsize_] <= 8;
     }
