@@ -1210,8 +1210,12 @@ void TileDecoder::transform_block(int plane, int baseX, int baseY, int txSz,
   int miColTx = (startX << subX) >> 2;
   int py = (miRowTx & sbMask) >> subY;  // plane 4x4 units within SB
   int px = (miColTx & sbMask) >> subX;
-  int haveLeft = (x > 0) || (plane ? avail_l_chroma_ : avail_l_);
-  int haveAbove = (y > 0) || (plane ? avail_u_chroma_ : avail_u_);
+  // x/y are chunk-relative for >64 blocks: availability must be judged
+  // against the BLOCK origin, not the chunk origin
+  int blockX = (mi_col_ >> subX) * 4;
+  int blockY = (mi_row_ >> subY) * 4;
+  int haveLeft = (startX > blockX) || (plane ? avail_l_chroma_ : avail_l_);
+  int haveAbove = (startY > blockY) || (plane ? avail_u_chroma_ : avail_u_);
   int haveAboveRight = bdec(plane, py - 1, px + txw4);
   int haveBelowLeft = bdec(plane, py + txh4, px - 1);
   int avail = haveLeft | (haveAbove << 1) | (haveAboveRight << 2) |

@@ -233,6 +233,13 @@ class FrameRecon:
         from av1dec_tpu.ops.spec import cdef_vec
         cdef_vec.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
                             self.bd)
+        if self.hdr.get("use_superres"):
+            from av1dec_tpu.ops.spec import superres
+            self.planes = superres.superres_frame(
+                self.planes, self.seq, self.hdr, self.bd)
+            if pre_cdef is not None:
+                pre_cdef = superres.superres_frame(
+                    pre_cdef, self.seq, self.hdr, self.bd)
         if any(lr_types):
             from av1dec_tpu.ops.spec import lr
             lr.lr_frame(self.planes, pre_cdef, self.seq, self.hdr,

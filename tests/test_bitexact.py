@@ -25,6 +25,11 @@ CASES = {
     "i444":    dict(w=64, h=64, n=1, cq=30, subsampling=(0, 0)),
     "lossless": dict(w=64, h=48, n=1, cq=0, extra=[("lossless", "1")]),
     "multi":   dict(w=96, h=64, n=2, cq=30),
+    "tiles":   dict(w=256, h=192, n=1, cq=50,
+                    extra=[("tile-columns", "1"), ("tile-rows", "1"),
+                           ("enable-cdef", "1"),
+                           ("enable-restoration", "1")]),
+    "rect64":  dict(w=32, h=64, n=1, cq=50, noise=8),
 }
 
 

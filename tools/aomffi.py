@@ -387,6 +387,7 @@ class AomEncoder:
         options: Optional[List[Tuple[str, str]]] = None,
         monochrome: bool = False,
         end_usage: Optional[int] = None,  # 0=VBR 1=CBR 2=CQ 3=Q
+        superres_denom: Optional[int] = None,  # 9..16 (8 = off)
     ) -> None:
         a = abi()
         self.w, self.h = w, h
@@ -414,6 +415,12 @@ class AomEncoder:
             set32(a.cfg_monochrome, 1)
         if end_usage is not None:
             set32(a.cfg_rc_end_usage, end_usage)
+        if superres_denom is not None:
+            # rc_superres_mode / _denominator / _kf_denominator sit just
+            # before rc_end_usage (offsets validated by usage-diff probe)
+            set32(a.cfg_rc_end_usage - 20, 1)   # SUPERRES_FIXED
+            set32(a.cfg_rc_end_usage - 16, superres_denom)
+            set32(a.cfg_rc_end_usage - 12, superres_denom)
         hbd = bit_depth > 8
         if hbd:
             set32(a.cfg_g_bit_depth, bit_depth)
