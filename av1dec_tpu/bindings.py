@@ -47,7 +47,8 @@ def _load():
                      ("av1n_plans_palettes", C.POINTER(C.c_int32)),
                      ("av1n_plans_color_map", C.POINTER(C.c_uint8)),
                      ("av1n_plans_color_map_off", C.POINTER(C.c_int32)),
-                     ("av1n_plans_lr", C.POINTER(C.c_int32))]:
+                     ("av1n_plans_lr", C.POINTER(C.c_int32)),
+                     ("av1n_plans_warps", C.POINTER(C.c_int32))]:
         fn = getattr(lib, name)
         fn.restype = rt
         fn.argtypes = [C.c_void_p, C.c_int]
@@ -62,7 +63,9 @@ MI_FIELDS = [
     "tx_size", "qindex", "delta_lf0", "delta_lf1", "delta_lf2", "delta_lf3",
     "cdef", "is_inter", "intrabc", "ref0", "ref1", "mv0x", "mv0y", "mv1x",
     "mv1y", "interp", "motion_mode", "compound_type", "wedge", "lossless",
+    "bx", "by", "interintra", "ii_wedge", "skip_mode",
 ]
+N_WARP_I32 = 8  # sizeof(WarpRecord)/4: mi, invalid, params[6]
 TXR_FIELDS = ["plane", "x4", "y4", "tx_size", "tx_type", "eob", "coef_off",
               "mi", "avail"]
 N_LR_I32 = 13  # sizeof(LrUnit)/4: plane,row,col,type,wiener[2][3],set,xqd[2]
@@ -74,10 +77,10 @@ class FramePlans:
     def __init__(self, lib, h, idx: int):
         import numpy as np
 
-        shape = (C.c_int64 * 8)()
+        shape = (C.c_int64 * 9)()
         assert lib.av1n_plans_shape(h, idx, shape) == 0
         (self.mi_rows, self.mi_cols, n_tx, n_coef, n_pal, n_cmap, n_lr,
-         n_fields) = [int(x) for x in shape]
+         n_fields, n_warp) = [int(x) for x in shape]
         n = self.mi_rows * self.mi_cols
 
         def arr(fn, count, dtype):
@@ -98,6 +101,8 @@ class FramePlans:
                                  "int32").reshape(n_pal, 2) if n_pal else None
         self.lr = arr(lib.av1n_plans_lr, n_lr * N_LR_I32, "int32").reshape(
             n_lr, N_LR_I32)
+        self.warps = arr(lib.av1n_plans_warps, n_warp * N_WARP_I32,
+                         "int32").reshape(n_warp, N_WARP_I32)
 
     def grid(self, name: str):
         return self.mi[MI_FIELDS.index(name)]

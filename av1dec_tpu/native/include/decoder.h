@@ -50,9 +50,12 @@ struct DecoderState {
   SequenceHeader seq;
   FrameHeader hdr;          // current frame header
   RefSlot ref[NUM_REF_FRAMES];
-  // frame-end CDFs of the frame being completed (set by the tile-decode
+  // frame-end state of the frame being completed (set by the tile-decode
   // driver before reference_frame_update stores it into refreshed slots)
   std::shared_ptr<CdfContext> pending_cdfs;
+  std::shared_ptr<std::vector<uint8_t>> pending_seg_ids;
+  std::shared_ptr<std::vector<int16_t>> pending_mvs;
+  std::shared_ptr<std::vector<int8_t>> pending_mv_ref;
   int seen_frame_header = 0;
   int temporal_id = 0, spatial_id = 0;
   int operating_point_idc = 0;

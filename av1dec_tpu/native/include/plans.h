@@ -43,10 +43,16 @@ enum MiField : int {
   MI_MV1X,
   MI_MV1Y,
   MI_INTERP,          // packed: horiz | vert<<4
-  MI_MOTION_MODE,
-  MI_COMPOUND_TYPE,
-  MI_WEDGE,           // packed wedge idx/sign, interintra info
+  MI_MOTION_MODE,     // 0 SIMPLE, 1 OBMC, 2 WARPED
+  MI_COMPOUND_TYPE,   // 0 avg, 1 distance-weighted, 2 wedge, 3 diffwtd
+  MI_WEDGE,           // compound mask params: wedge idx|sign<<4, or diffwtd
+                      // mask_type
   MI_LOSSLESS,
+  MI_BX,              // block origin (mi units) — every mi in a block
+  MI_BY,              //   points at its block's top-left mi
+  MI_INTERINTRA,      // 0 = off, else interintra_mode + 1
+  MI_II_WEDGE,        // interintra wedge: use_wedge<<4 | wedge_idx
+  MI_SKIP_MODE,
   N_MI_FIELDS,
 };
 
@@ -82,6 +88,13 @@ struct LrUnit {
   int32_t sgr_xqd[2];
 };
 
+// Local-warp parameters for one WARPED_CAUSAL block [SPEC §7.11.3.8]
+struct WarpRecord {
+  int32_t mi;        // mi_row * mi_cols + mi_col of the block origin
+  int32_t invalid;   // 1 if warp params invalid -> fall back to translation
+  int32_t params[6];
+};
+
 struct FramePlans {
   int mi_rows = 0, mi_cols = 0;
   std::vector<int16_t> mi;          // [N_MI_FIELDS][mi_rows][mi_cols]
@@ -91,6 +104,7 @@ struct FramePlans {
   std::vector<uint8_t> color_map;   // palette index maps, concatenated
   std::vector<int32_t> color_map_off;  // per palette record: [y_off, uv_off]
   std::vector<LrUnit> lr_units;
+  std::vector<WarpRecord> warps;
 
   int16_t* grid(int field) { return mi.data() + (size_t)field * mi_rows * mi_cols; }
   int16_t& at(int field, int r, int c) {
@@ -106,6 +120,7 @@ struct FramePlans {
     color_map.clear();
     color_map_off.clear();
     lr_units.clear();
+    warps.clear();
   }
 };
 

@@ -224,6 +224,28 @@ std::string frame_to_json(const DecoderState& st) {
   json_arr(o, "params", &h.gm.gm_params[0][0], NUM_REF_FRAMES * 6, false);
   o << "},";
 
+  // OrderHints[1..7] of this frame's refs (for compound distance weights)
+  {
+    long hints[TOTAL_REFS_PER_FRAME] = {0};
+    int rw[TOTAL_REFS_PER_FRAME] = {0}, rh[TOTAL_REFS_PER_FRAME] = {0};
+    if (!h.frame_is_intra) {
+      for (int rf = LAST_FRAME; rf <= ALTREF_FRAME; rf++) {
+        const RefSlot& slot = st.ref[h.ref_frame_idx[rf - LAST_FRAME]];
+        hints[rf] = slot.order_hint;
+        rw[rf] = slot.upscaled_width;
+        rh[rf] = slot.frame_height;
+      }
+    }
+    json_arr(o, "order_hints", hints, TOTAL_REFS_PER_FRAME);
+    json_arr(o, "ref_widths", rw, TOTAL_REFS_PER_FRAME);
+    json_arr(o, "ref_heights", rh, TOTAL_REFS_PER_FRAME);
+  }
+  json_kv(o, "frame_is_intra", h.frame_is_intra);
+  json_kv(o, "cur_frame_force_integer_mv", h.cur_frame_force_integer_mv);
+  json_arr(o, "skip_mode_frame", h.skip_mode_frame, 2);
+  json_kv(o, "enable_order_hint_seq", st.seq.enable_order_hint);
+  json_kv(o, "order_hint_bits", st.seq.order_hint_bits);
+
   o << "\"num_tiles\":" << (long)st.tiles.size() << ',';
   o << "\"tile_sizes\":[";
   for (size_t i = 0; i < st.tiles.size(); i++) {
@@ -260,6 +282,11 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
     // palette) persist across tiles; per-tile contexts reset inside
     // decode_tile.  Each tile starts from the frame CDF [SPEC §8.2.1].
     TileDecoder td(st->seq, st->hdr, nullptr, plans.get());
+    FrameMotionContext mctx;
+    if (!st->hdr.frame_is_intra) {
+      setup_motion_context(st, &mctx);  // [SPEC §7.9, §7.21]
+      td.set_motion_ctx(&mctx);
+    }
     CdfContext tile_cdf;
     CdfContext saved_cdf = *frame_cdf;  // frame-end context
     int tile_idx = 0;
@@ -279,6 +306,7 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
     }
     // stash for reference update below
     st->pending_cdfs = frame_cdf;
+    store_frame_motion(st, *plans);  // [SPEC §7.19-7.20]
   }
   h->frame_plans.push_back(plans);
 
@@ -335,8 +363,8 @@ static FramePlans* get_plans(void* hp, int idx) {
   return h->frame_plans[idx].get();
 }
 
-// out[0..7] = mi_rows, mi_cols, n_tx_records, n_coeffs, n_palettes,
-//             color_map_size, n_lr_units, n_mi_fields
+// out[0..8] = mi_rows, mi_cols, n_tx_records, n_coeffs, n_palettes,
+//             color_map_size, n_lr_units, n_mi_fields, n_warps
 int av1n_plans_shape(void* hp, int idx, int64_t* out) {
   FramePlans* p = get_plans(hp, idx);
   if (!p) return -1;
@@ -348,7 +376,15 @@ int av1n_plans_shape(void* hp, int idx, int64_t* out) {
   out[5] = (int64_t)p->color_map.size();
   out[6] = (int64_t)p->lr_units.size();
   out[7] = N_MI_FIELDS;
+  out[8] = (int64_t)p->warps.size();
   return 0;
+}
+
+const int32_t* av1n_plans_warps(void* hp, int idx) {
+  FramePlans* p = get_plans(hp, idx);
+  return p && !p->warps.empty()
+             ? reinterpret_cast<const int32_t*>(p->warps.data())
+             : nullptr;
 }
 
 const int16_t* av1n_plans_mi(void* hp, int idx) {

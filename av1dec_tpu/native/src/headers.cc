@@ -1301,6 +1301,9 @@ void reference_frame_update(DecoderState* st) {
       r->saved_seg = h.seg;
       r->saved_grain = h.grain;
       r->saved_cdfs = st->pending_cdfs;
+      r->saved_seg_ids = st->pending_seg_ids;
+      r->saved_mvs = st->pending_mvs;
+      r->saved_mv_ref = st->pending_mv_ref;
     }
   }
 }

@@ -151,6 +151,14 @@ TileDecoder::TileDecoder(const SequenceHeader& seq, const FrameHeader& hdr,
   cdef_idx_.assign((size_t)((mi_rows_ + 15) / 16) * ((mi_cols_ + 15) / 16),
                    -1);
   pal_grid_.assign((size_t)mi_rows_ * mi_cols_, -1);
+  ref0_grid_.assign((size_t)mi_rows_ * mi_cols_, -1);  // NONE = undecoded
+  ref1_grid_.assign((size_t)mi_rows_ * mi_cols_, -1);
+  comp_group_grid_.assign((size_t)mi_rows_ * mi_cols_, 0);
+  compound_idx_grid_.assign((size_t)mi_rows_ * mi_cols_, 0);
+  inter_tx_sizes_.assign((size_t)mi_rows_ * mi_cols_, TX_4X4);
+  tx_types_.assign((size_t)mi_rows_ * mi_cols_, 0);
+  above_seg_pred_.assign(mi_cols_ + 32, 0);
+  left_seg_pred_.assign(mi_rows_ + 32, 0);
 }
 
 int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
@@ -185,6 +193,8 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
             above_part_.begin() + mi_col_end_, 0);
   std::fill(above_tx_.begin() + mi_col_start_,
             above_tx_.begin() + mi_col_end_, 64);
+  std::fill(above_seg_pred_.begin() + mi_col_start_,
+            above_seg_pred_.begin() + mi_col_end_, 0);
 
   int sb4 = seq_.use_128x128_superblock ? 32 : 16;
   int sb_size = seq_.use_128x128_superblock ? BLOCK_128X128 : BLOCK_64X64;
@@ -198,6 +208,8 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
               left_part_.begin() + mi_row_end_, 0);
     std::fill(left_tx_.begin() + mi_row_start_,
               left_tx_.begin() + mi_row_end_, 64);
+    std::fill(left_seg_pred_.begin() + mi_row_start_,
+              left_seg_pred_.begin() + mi_row_end_, 0);
     for (int c = mi_col_start_; c < mi_col_end_; c += sb4) {
       read_deltas_ = hdr_.delta_q_present;
       // clear_cdef [SPEC §5.11.55]
@@ -569,11 +581,38 @@ int TileDecoder::decode_block(int r, int c, int bSize) {
   if (hdr_.frame_is_intra) {
     if (intra_frame_mode_info() < 0) return -1;
   } else {
-    return -1;  // inter path: inter_modeinfo.cc (M3)
+    if (inter_frame_mode_info() < 0) return -1;
   }
   if (palette_size_[0] || palette_size_[1]) palette_tokens();
 
-  read_block_tx_size();
+  // TX size: inter/intrabc non-skip SELECT-mode blocks use the recursive
+  // var-tx tree [SPEC §5.11.16]; everything else the block-level read.
+  bool inter_tx = is_inter_ || use_intrabc_;
+  bool var_tx = hdr_.tx_mode == TX_MODE_SELECT && bsize_ > BLOCK_4X4 &&
+                inter_tx && !skip_ && !hdr_.lossless[segment_id_];
+  if (var_tx) {
+    int maxTxSz = kMaxTxSizeRect[bsize_];
+    int txH4 = kTxHeight4[maxTxSz], txW4 = kTxWidth4[maxTxSz];
+    for (int row = r; row < r + bh4_; row += txH4)
+      for (int col = c; col < c + bw4_; col += txW4)
+        read_var_tx_size(row, col, maxTxSz, 0);
+    tx_size_ = kMaxTxSizeRect[bsize_];
+  } else {
+    read_block_tx_size();
+    for (int y = 0; y < bh4_ && r + y < mi_rows_; y++)
+      for (int x = 0; x < bw4_ && c + x < mi_cols_; x++)
+        inter_tx_sizes_[(size_t)(r + y) * mi_cols_ + (c + x)] =
+            (uint8_t)tx_size_;
+  }
+
+  int mm_for_plans = is_inter_ ? motion_mode_ : 0;
+  if (is_inter_ && motion_mode_ == 2 /*WARPED*/) {
+    WarpRecord wr;
+    wr.mi = r * mi_cols_ + c;
+    wr.invalid = warp_invalid_;
+    for (int i = 0; i < 6; i++) wr.params[i] = warp_params_[i];
+    plans_->warps.push_back(wr);
+  }
 
   for (int y = 0; y < bh4_ && r + y < mi_rows_; y++) {
     for (int x = 0; x < bw4_ && c + x < mi_cols_; x++) {
@@ -599,23 +638,99 @@ int TileDecoder::decode_block(int r, int c, int bSize) {
       plans_->at(MI_CDEF, r + y, c + x) =
           (int16_t)cdef_idx_[((r + y) >> 4) * ((mi_cols_ + 15) / 16) +
                              ((c + x) >> 4)];
-      plans_->at(MI_IS_INTER, r + y, c + x) = 0;
+      plans_->at(MI_IS_INTER, r + y, c + x) = (int16_t)is_inter_;
       plans_->at(MI_INTRABC, r + y, c + x) = (int16_t)use_intrabc_;
+      plans_->at(MI_REF0, r + y, c + x) = (int16_t)ref_frame_[0];
+      plans_->at(MI_REF1, r + y, c + x) = (int16_t)ref_frame_[1];
+      plans_->at(MI_MV0X, r + y, c + x) = mv_[0][1];
+      plans_->at(MI_MV0Y, r + y, c + x) = mv_[0][0];
+      plans_->at(MI_MV1X, r + y, c + x) = mv_[1][1];
+      plans_->at(MI_MV1Y, r + y, c + x) = mv_[1][0];
+      plans_->at(MI_INTERP, r + y, c + x) =
+          (int16_t)(interp_filter_[0] | (interp_filter_[1] << 4));
+      plans_->at(MI_MOTION_MODE, r + y, c + x) = (int16_t)mm_for_plans;
+      plans_->at(MI_COMPOUND_TYPE, r + y, c + x) = (int16_t)compound_type_;
+      plans_->at(MI_WEDGE, r + y, c + x) = (int16_t)wedge_packed_;
+      plans_->at(MI_BX, r + y, c + x) = (int16_t)c;
+      plans_->at(MI_BY, r + y, c + x) = (int16_t)r;
+      plans_->at(MI_INTERINTRA, r + y, c + x) = (int16_t)interintra_;
+      plans_->at(MI_II_WEDGE, r + y, c + x) = (int16_t)ii_wedge_packed_;
+      plans_->at(MI_SKIP_MODE, r + y, c + x) = (int16_t)skip_mode_;
       plans_->at(MI_LOSSLESS, r + y, c + x) =
           (int16_t)hdr_.lossless[segment_id_];
       seg_ids_[(size_t)(r + y) * mi_cols_ + (c + x)] = (uint8_t)segment_id_;
       pal_grid_[(size_t)(r + y) * mi_cols_ + (c + x)] = cur_palette_;
+      size_t g = (size_t)(r + y) * mi_cols_ + (c + x);
+      ref0_grid_[g] = (int8_t)ref_frame_[0];
+      ref1_grid_[g] = (int8_t)ref_frame_[1];
+      comp_group_grid_[g] = (uint8_t)comp_group_cur_;
+      compound_idx_grid_[g] = (uint8_t)compound_idx_cur_;
     }
   }
 
   residual();
 
-  int txw = tx_size_wide(tx_size_), txh = tx_size_high(tx_size_);
-  for (int x = 0; x < bw4_ && c + x < mi_cols_; x++)
-    above_tx_[c + x] = (uint8_t)txw;
-  for (int y = 0; y < bh4_ && r + y < mi_rows_; y++)
-    left_tx_[r + y] = (uint8_t)txh;
+  if (!var_tx) {
+    // txfm context update: skipped inter blocks register their full block
+    // dims [libaom set_txfm_ctxs]; others their tx dims
+    int txw = tx_size_wide(tx_size_), txh = tx_size_high(tx_size_);
+    if (inter_tx && skip_) {
+      txw = 4 * bw4_;
+      txh = 4 * bh4_;
+    }
+    for (int x = 0; x < bw4_ && c + x < mi_cols_; x++)
+      above_tx_[c + x] = (uint8_t)txw;
+    for (int y = 0; y < bh4_ && r + y < mi_rows_; y++)
+      left_tx_[r + y] = (uint8_t)txh;
+  }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Var-tx size tree [SPEC §5.11.16]
+// ---------------------------------------------------------------------------
+
+void TileDecoder::read_var_tx_size(int row, int col, int txSz, int depth) {
+  if (row >= mi_rows_ || col >= mi_cols_) return;
+  int txfm_split;
+  if (txSz == TX_4X4 || depth == MAX_TX_DEPTH) {
+    txfm_split = 0;
+  } else {
+    // ctx [libaom txfm_partition_context]
+    int maxDim = std::max(4 * bw4_, 4 * bh4_);
+    int maxTx;  // square tx size of the block's larger dimension, cap 64
+    if (maxDim >= 64)
+      maxTx = TX_64X64;
+    else if (maxDim >= 32)
+      maxTx = TX_32X32;
+    else if (maxDim >= 16)
+      maxTx = TX_16X16;
+    else
+      maxTx = TX_8X8;
+    int category = ((int)kTxSizeSqrUp[txSz] != maxTx && maxTx > TX_8X8) +
+                   (TX_SIZES - 1 - maxTx) * 2;
+    int above = above_tx_[col] < tx_size_wide(txSz);
+    int left = left_tx_[row] < tx_size_high(txSz);
+    int ctx = category * 3 + above + left;
+    txfm_split = r_.decode_bool(cdf_->txfm_partition[ctx]);
+  }
+  int w4 = kTxWidth4[txSz], h4 = kTxHeight4[txSz];
+  if (txfm_split) {
+    int subTx = kSplitTxSize[txSz];
+    int stepW = kTxWidth4[subTx], stepH = kTxHeight4[subTx];
+    for (int i = 0; i < h4; i += stepH)
+      for (int j = 0; j < w4; j += stepW)
+        read_var_tx_size(row + i, col + j, subTx, depth + 1);
+  } else {
+    for (int i = 0; i < h4 && row + i < mi_rows_; i++)
+      for (int j = 0; j < w4 && col + j < mi_cols_; j++)
+        inter_tx_sizes_[(size_t)(row + i) * mi_cols_ + (col + j)] =
+            (uint8_t)txSz;
+    for (int j = 0; j < w4 && col + j < mi_cols_; j++)
+      above_tx_[col + j] = (uint8_t)tx_size_wide(txSz);
+    for (int i = 0; i < h4 && row + i < mi_rows_; i++)
+      left_tx_[row + i] = (uint8_t)tx_size_high(txSz);
+  }
 }
 
 int TileDecoder::base_qindex_for_segment() const {
@@ -761,11 +876,24 @@ int TileDecoder::intra_frame_mode_info() {
   skip_ = 0;
   segment_id_ = 0;
   use_intrabc_ = 0;
+  is_inter_ = 0;
+  skip_mode_ = 0;
   palette_size_[0] = palette_size_[1] = 0;
   filter_intra_mode_ = -1;
   cfl_alpha_idx_ = 0;
   cfl_signs_ = 0;
   angle_delta_y_ = angle_delta_uv_ = 0;
+  ref_frame_[0] = INTRA_FRAME;
+  ref_frame_[1] = NONE_FRAME;
+  mv_[0][0] = mv_[0][1] = mv_[1][0] = mv_[1][1] = 0;
+  motion_mode_ = 0;
+  compound_type_ = 0;
+  wedge_packed_ = 0;
+  interintra_ = 0;
+  ii_wedge_packed_ = 0;
+  interp_filter_[0] = interp_filter_[1] = EIGHTTAP;
+  comp_group_cur_ = 0;
+  compound_idx_cur_ = 1;
 
   if (hdr_.seg.seg_id_pre_skip) intra_segment_id();
   read_skip();
@@ -779,9 +907,14 @@ int TileDecoder::intra_frame_mode_info() {
     use_intrabc_ = r_.decode_bool(cdf_->intrabc);
   }
   if (use_intrabc_) {
-    // IntraBC DV needs the MV prediction stack (§7.10) — lands with the
-    // inter layer.  Streams using it are rejected until then.
-    return -1;
+    // IntraBC: DC modes, bilinear filter, DV via the MV stack
+    // [SPEC §5.11.6 intrabc arm]
+    y_mode_ = DC_PRED;
+    uv_mode_ = DC_PRED;
+    interp_filter_[0] = interp_filter_[1] = BILINEAR;
+    find_mv_stack(false);
+    assign_mv(false);
+    return 0;
   }
 
   int above_mode =
@@ -1184,11 +1317,40 @@ void TileDecoder::residual() {
         int subY = plane ? seq_.subsampling_y : 0;
         int baseX = (miColChunk >> subX) * 4;
         int baseY = (miRowChunk >> subY) * 4;
-        for (int y = 0; y < num4x4H; y += stepY)
-          for (int x = 0; x < num4x4W; x += stepX)
-            transform_block(plane, baseX, baseY, txSz, x, y);
+        if ((is_inter_ || use_intrabc_) && !hdr_.lossless[segment_id_] &&
+            !plane) {
+          // inter luma: walk the var-tx tree [SPEC §5.11.35]
+          transform_tree(baseX, baseY, num4x4W * 4, num4x4H * 4);
+        } else {
+          for (int y = 0; y < num4x4H; y += stepY)
+            for (int x = 0; x < num4x4W; x += stepX)
+              transform_block(plane, baseX, baseY, txSz, x, y);
+        }
       }
     }
+  }
+}
+
+void TileDecoder::transform_tree(int startX, int startY, int w, int h) {
+  // [SPEC §5.11.36]
+  int maxX = mi_cols_ * 4, maxY = mi_rows_ * 4;
+  if (startX >= maxX || startY >= maxY) return;
+  int row = startY >> 2, col = startX >> 2;
+  int lumaTxSz = inter_tx_sizes_[(size_t)row * mi_cols_ + col];
+  int lumaW = tx_size_wide(lumaTxSz), lumaH = tx_size_high(lumaTxSz);
+  if (lumaW == w && lumaH == h) {
+    transform_block(0, startX, startY, lumaTxSz, 0, 0);
+  } else if (w > h) {
+    transform_tree(startX, startY, w / 2, h);
+    transform_tree(startX + w / 2, startY, w / 2, h);
+  } else if (w < h) {
+    transform_tree(startX, startY, w, h / 2);
+    transform_tree(startX, startY + h / 2, w, h / 2);
+  } else {
+    transform_tree(startX, startY, w / 2, h / 2);
+    transform_tree(startX + w / 2, startY, w / 2, h / 2);
+    transform_tree(startX, startY + h / 2, w / 2, h / 2);
+    transform_tree(startX + w / 2, startY + h / 2, w / 2, h / 2);
   }
 }
 
@@ -1265,14 +1427,23 @@ void TileDecoder::set_coeff_contexts(int plane, int x4, int y4, int w4,
     left[y4 + i] = (y4 + i < nrows) ? v : 0;
 }
 
-int TileDecoder::read_tx_type(int plane, int txSz, int* out_type) {
+int TileDecoder::read_tx_type(int plane, int txSz, int x4, int y4,
+                              int* out_type) {
   // [SPEC §5.11.47 transform_type + §5.11.40 compute_tx_type]
-  int set_type = get_ext_tx_set_type(txSz, /*is_inter=*/0,
-                                     hdr_.reduced_tx_set);
+  bool inter_tx = is_inter_ || use_intrabc_;
+  int set_type =
+      get_ext_tx_set_type(txSz, inter_tx ? 1 : 0, hdr_.reduced_tx_set);
   if (plane != 0) {
     int t;
     if (hdr_.lossless[segment_id_] || kTxSizeSqrUp[txSz] > TX_32X32) {
       t = DCT_DCT;
+    } else if (inter_tx) {
+      // inter chroma copies the co-located luma tx type [SPEC §5.11.40]
+      int lx = std::max(mi_col_, x4 << seq_.subsampling_x);
+      int ly = std::max(mi_row_, y4 << seq_.subsampling_y);
+      t = tx_types_[(size_t)std::min(ly, mi_rows_ - 1) * mi_cols_ +
+                    std::min(lx, mi_cols_ - 1)];
+      if (!kExtTxUsed[set_type][t]) t = DCT_DCT;
     } else {
       t = kIntraModeToTxType[uv_mode_];
       if (!kExtTxUsed[set_type][t]) t = DCT_DCT;
@@ -1280,18 +1451,24 @@ int TileDecoder::read_tx_type(int plane, int txSz, int* out_type) {
     *out_type = t;
     return 0;
   }
-  int set_idx = ext_tx_set_index(set_type, 0);
+  int set_idx = ext_tx_set_index(set_type, inter_tx ? 1 : 0);
   int qindex = base_qindex_for_segment();
   if (set_idx == 0 || qindex == 0 || hdr_.lossless[segment_id_]) {
     *out_type = DCT_DCT;
     return 0;
   }
-  int intra_dir = filter_intra_mode_ >= 0
-                      ? kFimodeToIntraDir[filter_intra_mode_]
-                      : y_mode_;
   int sqr = kTxSizeSqr[txSz];
-  int sym = r_.decode_symbol(cdf_->intra_ext_tx[set_idx][sqr][intra_dir],
-                             kNumExtTxSymbols[set_type]);
+  int sym;
+  if (inter_tx) {
+    sym = r_.decode_symbol(cdf_->inter_ext_tx[set_idx][sqr],
+                           kNumExtTxSymbols[set_type]);
+  } else {
+    int intra_dir = filter_intra_mode_ >= 0
+                        ? kFimodeToIntraDir[filter_intra_mode_]
+                        : y_mode_;
+    sym = r_.decode_symbol(cdf_->intra_ext_tx[set_idx][sqr][intra_dir],
+                           kNumExtTxSymbols[set_type]);
+  }
   *out_type = kExtTxInv[set_type][sym];
   return 0;
 }
@@ -1316,8 +1493,14 @@ int TileDecoder::coeffs(int plane, int startX, int startY, int txSz,
     return 0;
   }
 
-  read_tx_type(plane, txSz, out_tx_type);
+  read_tx_type(plane, txSz, x4, y4, out_tx_type);
   int txType = *out_tx_type;
+  if (plane == 0) {
+    // TxTypes grid for inter-chroma derivation [SPEC §5.11.47]
+    for (int i = 0; i < h4 && y4 + i < mi_rows_; i++)
+      for (int j = 0; j < w4 && x4 + j < mi_cols_; j++)
+        tx_types_[(size_t)(y4 + i) * mi_cols_ + (x4 + j)] = (uint8_t)txType;
+  }
 
   const ScanOrder& so = get_scan(txSz, txType);
   int txClass = kTxClass[txType];
