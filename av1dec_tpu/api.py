@@ -1,0 +1,137 @@
+"""Public decoder API: create / decode / drain.  [SURVEY §2.3 rows 35-36]
+
+Wraps the native entropy front-half (NativeParser) and the pixel
+pipeline (FrameRecon) with the reference-frame pool (DPB, [SPEC §7.20])
+so whole streams decode through one object:
+
+    dec = Decoder()
+    for _, tu in read_ivf(path):
+        for frame in dec.decode(tu):
+            frame.planes  # list of np arrays (Y, U, V)
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from av1dec_tpu.bindings import NativeParser
+from av1dec_tpu.pipeline.recon import FrameRecon
+
+
+@dataclass
+class OutputFrame:
+    planes: List[np.ndarray]
+    bit_depth: int
+    subsampling: tuple
+    order_hint: int = 0
+    frame_type: int = 0
+
+    def md5(self) -> str:
+        h = hashlib.md5()
+        for p in self.planes:
+            dt = np.uint16 if self.bit_depth > 8 else np.uint8
+            h.update(np.ascontiguousarray(p.astype(dt)).tobytes())
+        return h.hexdigest()
+
+
+@dataclass
+class _Slot:
+    planes: List[np.ndarray]
+    width: int       # luma upscaled width
+    height: int      # luma height
+    frame_type: int
+    grain: dict = field(default_factory=dict)
+    bit_depth: int = 8
+    subsampling: tuple = (1, 1)
+
+
+class Decoder:
+    """AV1 decoder: temporal units in, display-order frames out."""
+
+    def __init__(self, config=None) -> None:
+        self.config = config
+        self._parser = NativeParser()
+        self._dpb: Dict[int, Optional[_Slot]] = {i: None for i in range(8)}
+
+    @property
+    def seq(self):
+        return self._parser.seq
+
+    def decode(self, tu: bytes) -> List[OutputFrame]:
+        out: List[OutputFrame] = []
+        for hdr, plans in self._parser.parse_tu(tu, with_plans=True):
+            seq = self._parser.seq
+            if hdr.get("show_existing_frame"):
+                slot = self._dpb[hdr["frame_to_show_map_idx"]]
+                if slot is None:
+                    raise ValueError("show_existing_frame: empty slot")
+                out.append(self._emit(slot.planes, slot, hdr))
+                if slot.frame_type == 0:  # KEY re-show refreshes all slots
+                    for i in range(8):
+                        self._dpb[i] = slot
+                continue
+            refs = None
+            if not hdr.get("frame_is_intra", 1):
+                refs = {}
+                for rf in range(1, 8):
+                    idx = hdr["ref_frame_idx"][rf - 1]
+                    slot = self._dpb[idx]
+                    if slot is not None:
+                        refs[rf] = {"planes": slot.planes,
+                                    "width": slot.width,
+                                    "height": slot.height}
+            recon = FrameRecon(seq, hdr, plans, refs=refs)
+            planes = recon.run()
+            slot = _Slot(planes=planes,
+                         width=hdr["upscaled_width"],
+                         height=hdr["frame_height"],
+                         frame_type=hdr["frame_type"],
+                         grain=hdr.get("grain") or {},
+                         bit_depth=seq["bit_depth"],
+                         subsampling=(seq["subsampling_x"],
+                                      seq["subsampling_y"]))
+            for i in range(8):
+                if (hdr["refresh_frame_flags"] >> i) & 1:
+                    self._dpb[i] = slot
+            if hdr.get("show_frame"):
+                out.append(self._emit(planes, slot, hdr))
+        return out
+
+    def _emit(self, planes, slot, hdr) -> OutputFrame:
+        grain = slot.grain if hdr.get("show_existing_frame") \
+            else (hdr.get("grain") or {})
+        out_planes = planes
+        if grain.get("apply_grain"):
+            from av1dec_tpu.ops.spec import film_grain
+            out_planes = film_grain.apply_grain(
+                planes, grain, slot.bit_depth, slot.subsampling[0],
+                slot.subsampling[1])
+        return OutputFrame(planes=out_planes, bit_depth=slot.bit_depth,
+                           subsampling=slot.subsampling,
+                           order_hint=hdr.get("order_hint", 0),
+                           frame_type=slot.frame_type)
+
+    def close(self) -> None:
+        self._parser.close()
+
+
+def decode_ivf(path: str) -> List[OutputFrame]:
+    """Decode a whole IVF file (convenience)."""
+    import struct
+
+    frames: List[OutputFrame] = []
+    dec = Decoder()
+    with open(path, "rb") as f:
+        head = f.read(32)
+        assert head[:4] == b"DKIF", "not an IVF file"
+        while True:
+            fh = f.read(12)
+            if len(fh) < 12:
+                break
+            size = struct.unpack("<I", fh[:4])[0]
+            frames += dec.decode(f.read(size))
+    dec.close()
+    return frames

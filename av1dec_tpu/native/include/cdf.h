@@ -103,5 +103,8 @@ struct CdfContext {
 // [SPEC §7.20 init_non_coeff_cdfs / init_coeff_cdfs]
 void init_non_coeff_cdfs(CdfContext* c);
 void init_coeff_cdfs(CdfContext* c, int base_q_idx);
+// zero every CDF's adaptation counter (applied to the frame-end context
+// before it is saved for later frames) [libaom av1_reset_cdf_symbol_counters]
+void reset_cdf_counters(CdfContext* c);
 
 }  // namespace av1

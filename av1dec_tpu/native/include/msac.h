@@ -36,6 +36,7 @@ class Msac {
  public:
   void init(const uint8_t* data, size_t size, bool allow_update_cdf) {
     bptr_ = data;
+    start_ = data;
     end_ = data + size;
     dif_ = (~(uint64_t)0) >> 1;  // (1 << 63) - 1
     rng_ = 0x8000;
@@ -45,6 +46,7 @@ class Msac {
   }
 
   bool allow_update_cdf() const { return allow_update_cdf_; }
+  long trace_pos() const { return bptr_ - start_; }
 
   // decode_symbol [SPEC §8.2.6] + update_cdf [SPEC §8.2.4]
   int decode_symbol(uint16_t* cdf, int nsyms) {
@@ -182,6 +184,7 @@ class Msac {
   }
 
   const uint8_t* bptr_ = nullptr;
+  const uint8_t* start_ = nullptr;
   const uint8_t* end_ = nullptr;
   uint64_t dif_ = 0;
   unsigned rng_ = 0x8000;

@@ -303,6 +303,7 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
     }
     if (!st->hdr.disable_frame_end_update_cdf) {
       *frame_cdf = saved_cdf;
+      reset_cdf_counters(frame_cdf.get());
     }
     // stash for reference update below
     st->pending_cdfs = frame_cdf;

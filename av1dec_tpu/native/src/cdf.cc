@@ -103,4 +103,107 @@ void init_coeff_cdfs(CdfContext* c, int base_q_idx) {
 
 #undef CP
 
+namespace {
+
+// Reset one CDF row's adaptation counter: rows are laid out as
+// (probs..., terminal 0, counter, padding); the counter directly follows
+// the first zero (the terminal).  [libaom av1_reset_cdf_symbol_counters]
+template <size_t N>
+void rst(uint16_t (&row)[N]) {
+  for (size_t i = 0; i + 1 < N; i++) {
+    if (row[i] == 0) {
+      row[i + 1] = 0;
+      break;
+    }
+  }
+}
+
+template <typename T, size_t N>
+void rst(T (&arr)[N]) {
+  for (auto& sub : arr) rst(sub);
+}
+
+}  // namespace
+
+void reset_cdf_counters(CdfContext* c) {
+  rst(c->partition);
+  rst(c->kf_y_mode);
+  rst(c->if_y_mode);
+  rst(c->uv_mode);
+  rst(c->angle_delta);
+  rst(c->intra_ext_tx);
+  rst(c->inter_ext_tx);
+  rst(c->cfl_sign);
+  rst(c->cfl_alpha);
+  rst(c->filter_intra_mode);
+  rst(c->filter_intra);
+  rst(c->switchable_interp);
+  rst(c->newmv);
+  rst(c->zeromv);
+  rst(c->refmv);
+  rst(c->drl);
+  rst(c->inter_compound_mode);
+  rst(c->interintra);
+  rst(c->interintra_mode);
+  rst(c->wedge_interintra);
+  rst(c->compound_type);
+  rst(c->wedge_idx);
+  rst(c->motion_mode);
+  rst(c->obmc);
+  rst(c->intra_inter);
+  rst(c->comp_inter);
+  rst(c->comp_ref_type);
+  rst(c->uni_comp_ref);
+  rst(c->single_ref);
+  rst(c->comp_ref);
+  rst(c->comp_bwdref);
+  rst(c->comp_group_idx);
+  rst(c->compound_idx);
+  rst(c->palette_y_size);
+  rst(c->palette_uv_size);
+  rst(c->palette_y_mode);
+  rst(c->palette_uv_mode);
+  rst(c->palette_y_color);
+  rst(c->palette_uv_color);
+  rst(c->txfm_partition);
+  rst(c->skip);
+  rst(c->skip_mode);
+  rst(c->segment_id);
+  rst(c->segment_pred);
+  rst(c->tx_size);
+  rst(c->delta_q);
+  rst(c->delta_lf);
+  rst(c->delta_lf_multi);
+  rst(c->intrabc);
+  rst(c->restore_wiener);
+  rst(c->restore_sgrproj);
+  rst(c->restore_switchable);
+  for (MvCdf* m : {&c->mv, &c->dv}) {
+    rst(m->joints);
+    for (int i = 0; i < 2; i++) {
+      rst(m->comp[i].classes);
+      rst(m->comp[i].class0_fp);
+      rst(m->comp[i].fp);
+      rst(m->comp[i].sign);
+      rst(m->comp[i].class0_hp);
+      rst(m->comp[i].hp);
+      rst(m->comp[i].class0);
+      rst(m->comp[i].bits);
+    }
+  }
+  rst(c->txb_skip);
+  rst(c->eob_extra);
+  rst(c->dc_sign);
+  rst(c->eob_pt_16);
+  rst(c->eob_pt_32);
+  rst(c->eob_pt_64);
+  rst(c->eob_pt_128);
+  rst(c->eob_pt_256);
+  rst(c->eob_pt_512);
+  rst(c->eob_pt_1024);
+  rst(c->coeff_base_eob);
+  rst(c->coeff_base);
+  rst(c->coeff_br);
+}
+
 }  // namespace av1

@@ -90,7 +90,7 @@ const uint8_t kAdjustedTxSize[TX_SIZES_ALL] = {
 
 const uint8_t kIntraModeContext[INTRA_MODES] = {0, 1, 2, 3, 4, 4, 4,
                                                 4, 3, 0, 1, 2, 0};
-const uint8_t kSizeGroup[BLOCK_SIZES_ALL] = {0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 3,
+const uint8_t kSizeGroup[BLOCK_SIZES_ALL] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
                                              3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3};
 const uint8_t kIntraModeToTxType[UV_INTRA_MODES] = {
     DCT_DCT,   ADST_DCT,  DCT_ADST,  DCT_DCT, ADST_ADST, ADST_DCT,

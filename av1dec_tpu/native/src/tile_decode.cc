@@ -12,6 +12,21 @@
 
 namespace av1 {
 
+// Labeled syntax trace (AV1N_SYN=1): block/tx-level decode events for
+// debugging bit-exactness failures.
+static bool syn_trace() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = std::getenv("AV1N_SYN");
+    v = (e && *e == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
+#define SYN(...) \
+  do { \
+    if (syn_trace()) fprintf(stderr, __VA_ARGS__); \
+  } while (0)
+
 namespace {
 
 inline int floor_log2(int x) {
@@ -578,11 +593,15 @@ int TileDecoder::decode_block(int r, int c, int bSize) {
   }
   cur_palette_ = -1;
 
+  SYN("B r=%d c=%d bs=%d pos=%ld\n", r, c, bSize, r_.trace_pos());
   if (hdr_.frame_is_intra) {
     if (intra_frame_mode_info() < 0) return -1;
   } else {
     if (inter_frame_mode_info() < 0) return -1;
   }
+  SYN("  mi inter=%d mode=%d ref=%d,%d mv=%d,%d skip=%d uv=%d fi=%d\n",
+      is_inter_, y_mode_, ref_frame_[0], ref_frame_[1], mv_[0][0], mv_[0][1],
+      skip_, uv_mode_, filter_intra_mode_);
   if (palette_size_[0] || palette_size_[1]) palette_tokens();
 
   // TX size: inter/intrabc non-skip SELECT-mode blocks use the recursive
@@ -1233,7 +1252,11 @@ void TileDecoder::read_block_tx_size() {
     return;
   }
   int maxRect = kMaxTxSizeRect[bsize_];
-  if (hdr_.tx_mode != TX_MODE_SELECT || bsize_ == BLOCK_4X4 || skip_) {
+  // allowSelect = !skip || !is_inter [SPEC §5.11.15]: intra blocks code
+  // tx_depth even when skip; inter/intrabc skip blocks use the max size
+  bool allowSelect = !skip_ || !(is_inter_ || use_intrabc_);
+  if (hdr_.tx_mode != TX_MODE_SELECT || bsize_ == BLOCK_4X4 ||
+      !allowSelect) {
     tx_size_ = hdr_.tx_mode == ONLY_4X4 ? TX_4X4 : maxRect;
     return;
   }
@@ -1487,6 +1510,8 @@ int TileDecoder::coeffs(int plane, int startX, int startY, int txSz,
   *out_coef_off = (size_t)-1;
 
   int txbSkipCtx = get_txb_skip_ctx(plane, txSz, x4, y4, w4, h4);
+  SYN("  C p=%d x4=%d y4=%d tx=%d skipctx=%d pos=%ld\n", plane, x4, y4,
+      txSz, txbSkipCtx, r_.trace_pos());
   int all_zero = r_.decode_bool(cdf_->txb_skip[txSzCtx][txbSkipCtx]);
   if (all_zero) {
     set_coeff_contexts(plane, x4, y4, w4, h4, 0);

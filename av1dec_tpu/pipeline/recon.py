@@ -30,18 +30,25 @@ def _alpha(joint_sign, alpha_idx, plane):
 
 
 class FrameRecon:
-    """Reconstructs one frame's planes from its FramePlans."""
+    """Reconstructs one frame's planes from its FramePlans.
 
-    def __init__(self, seq: dict, hdr: dict, plans) -> None:
+    `refs`: dict mapping spec ref-frame enums (1..7, LAST..ALTREF) to
+    {"planes": [np arrays], "width": luma_w, "height": luma_h} for inter
+    frames (the DPB view).
+    """
+
+    def __init__(self, seq: dict, hdr: dict, plans, refs=None) -> None:
         self.seq = seq
         self.hdr = hdr
         self.plans = plans
+        self.refs = refs
         self.bd = seq["bit_depth"]
         self.sub_x = seq["subsampling_x"]
         self.sub_y = seq["subsampling_y"]
         self.num_planes = 1 if seq["mono_chrome"] else 3
         self.mi_rows = plans.mi_rows
         self.mi_cols = plans.mi_cols
+        self._warp_map = None
         h, w = self.mi_rows * 4, self.mi_cols * 4
         # allocate to superblock multiples: blocks/transforms may overhang
         # the frame bottom/right [SPEC partition semantics]; the overhang
@@ -61,6 +68,21 @@ class FrameRecon:
     # -- helpers over the mi grid ----------------------------------------
     def g(self, name, mi_r, mi_c):
         return int(self.plans.grid(name)[mi_r, mi_c])
+
+    def _alloc_view(self):
+        """Current (partially reconstructed) planes — intra-bc source."""
+        return self.planes
+
+    def warp_for_block(self, by, bx):
+        """Local warp params for a WARPED block, or None."""
+        if self._warp_map is None:
+            self._warp_map = {}
+            for rec in self.plans.warps:
+                self._warp_map[int(rec[0])] = {
+                    "invalid": int(rec[1]),
+                    "params": [int(v) for v in rec[2:8]],
+                }
+        return self._warp_map.get(by * self.mi_cols + bx)
 
     def _block_origin(self, mi_r, mi_c):
         return mi_r, mi_c  # records carry the block origin directly
@@ -153,6 +175,8 @@ class FrameRecon:
         plans = self.plans
         mi_cols = self.mi_cols
         residuals = self._precompute_residuals()
+        inter_pred = None
+        last_block = None
         for rec_idx, rec in enumerate(plans.tx):
             (plane, x4, y4, tx_size, tx_type, eob, coef_off, mi, avail) = \
                 [int(v) for v in rec]
@@ -171,12 +195,30 @@ class FrameRecon:
             have_above_right = bool(avail & 4)
             have_below_left = bool(avail & 8)
 
+            # ---- inter / intra-bc blocks: predict once per block, then
+            # accumulate residuals into the frame buffer
+            is_inter = self.g("is_inter", mi_r, mi_c)
+            intrabc = self.g("intrabc", mi_r, mi_c)
+            if is_inter or intrabc:
+                block = (self.g("by", mi_r, mi_c), self.g("bx", mi_r, mi_c))
+                if block != last_block:
+                    if inter_pred is None:
+                        from av1dec_tpu.pipeline.inter_pred import \
+                            InterPredictor
+                        inter_pred = InterPredictor(self)
+                    inter_pred.predict_block(*block)
+                    last_block = block
+                res = residuals.get(rec_idx)
+                if res is not None:
+                    region = frame[y: y + h, x: x + w]
+                    frame[y: y + h, x: x + w] = np.clip(
+                        region + res, 0, (1 << self.bd) - 1)
+                continue
+            last_block = (self.g("by", mi_r, mi_c), self.g("bx", mi_r, mi_c))
+
             # ---- prediction
             use_palette = self.g("palette_y" if plane == 0 else "palette_uv",
                                  mi_r, mi_c) > 0
-            intrabc = self.g("intrabc", mi_r, mi_c)
-            if intrabc:
-                raise NotImplementedError("intrabc recon")
             if use_palette:
                 pred = self._palette_pred(plane, mi_r, mi_c, x, y, w, h)
             else:
