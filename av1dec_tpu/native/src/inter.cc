@@ -669,7 +669,14 @@ void TileDecoder::temporal_scan() {
   bool allowExtension = bh4_ >= 2 && bw4_ >= 2 && bh4_ < 16 && bw4_ < 16;
   if (allowExtension) {
     const int pos[3][2] = {{bh4_, -2}, {bh4_, bw4_}, {bh4_ - 2, bw4_}};
-    for (int i = 0; i < 3; i++) add_tpl_ref_mv(pos[i][0], pos[i][1]);
+    for (int i = 0; i < 3; i++) {
+      // extension samples must stay inside the same 64x64 region
+      // [libaom check_sb_border]
+      int row = (mi_row_ & 15) + pos[i][0];
+      int col = (mi_col_ & 15) + pos[i][1];
+      if (row < 0 || row >= 16 || col < 0 || col >= 16) continue;
+      add_tpl_ref_mv(pos[i][0], pos[i][1]);
+    }
   }
 }
 
@@ -921,6 +928,16 @@ void TileDecoder::find_mv_stack(bool isCompound) {
         z = 2;
     }
     drl_ctx_stack_[idx] = z;
+  }
+  if (getenv("AV1N_SYN") && *getenv("AV1N_SYN") == '1') {
+    fprintf(stderr, "  STACK r=%d c=%d n=%d:", mi_row_, mi_col_,
+            num_mv_found_);
+    for (int i = 0; i < num_mv_found_; i++)
+      fprintf(stderr, " [%d,%d|%d,%d w%d]", ref_mv_stack_[i][0][0],
+              ref_mv_stack_[i][0][1], ref_mv_stack_[i][1][0],
+              ref_mv_stack_[i][1][1], weight_stack_[i]);
+    fprintf(stderr, " newctx=%d refctx=%d zeroctx=%d\n", new_mv_ctx_,
+            ref_mv_ctx_, zero_mv_ctx_);
   }
 }
 
