@@ -111,6 +111,8 @@ class TileDecoder {
   bool has_overlappable_candidates() const;
   void find_warp_samples();
   void add_warp_sample(int deltaRow, int deltaCol);
+  void add_warp_sample_c(int deltaRow, int deltaCol, int centerRow,
+                         int centerCol);
   void warp_estimation();
   int read_segment_id_inter();
   // var-tx [SPEC §5.11.16]

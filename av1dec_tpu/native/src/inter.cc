@@ -1285,6 +1285,16 @@ void TileDecoder::read_interp_filter() {
 // ---------------------------------------------------------------------------
 
 void TileDecoder::add_warp_sample(int deltaRow, int deltaCol) {
+  add_warp_sample_c(deltaRow, deltaCol, deltaRow, deltaCol);
+}
+
+void TileDecoder::add_warp_sample_c(int deltaRow, int deltaCol, int centerRow,
+                                    int centerCol) {
+  // [libaom record_samples]: sample centers derive from the SCAN position
+  // with sign conventions (no snapping to the candidate's true origin):
+  //   above row:  y = -candH/2 - 1,         x = deltaCol*4 + candW/2 - 1
+  //   left col:   y = deltaRow*4 + candH/2 - 1,  x = -candW/2 - 1
+  // (deltaRow = -1 encodes "above", deltaCol = -1 encodes "left")
   if (num_samples_scanned_ >= 8) return;
   int mvRow = mi_row_ + deltaRow;
   int mvCol = mi_col_ + deltaCol;
@@ -1295,13 +1305,18 @@ void TileDecoder::add_warp_sample(int deltaRow, int deltaCol) {
   if (ref1_grid_[g] != NONE_FRAME) return;
   int candSz = plans_->at(MI_BSIZE, mvRow, mvCol);
   int candW4 = kBlockWidth4[candSz], candH4 = kBlockHeight4[candSz];
-  int candRow = mvRow & ~(candH4 - 1);
-  int candCol = mvCol & ~(candW4 - 1);
-  int midY = candRow * 4 + candH4 * 2 - 1;
-  int midX = candCol * 4 + candW4 * 2 - 1;
-  int threshold = std::clamp(std::max(bw4_ * 4, bh4_ * 4), 1, 100);
-  int candMvRow = plans_->at(MI_MV0Y, candRow, candCol);
-  int candMvCol = plans_->at(MI_MV0X, candRow, candCol);
+  int midY, midX;  // sample center (pixels, frame-absolute)
+  if (deltaRow < 0)
+    midY = mi_row_ * 4 - candH4 * 2 - 1;
+  else
+    midY = (mi_row_ + centerRow) * 4 + candH4 * 2 - 1;
+  if (deltaCol < 0)
+    midX = mi_col_ * 4 - candW4 * 2 - 1;
+  else
+    midX = (mi_col_ + centerCol) * 4 + candW4 * 2 - 1;
+  int threshold = std::clamp(std::max(bw4_ * 4, bh4_ * 4), 16, 112);
+  int candMvRow = plans_->at(MI_MV0Y, mvRow, mvCol);
+  int candMvCol = plans_->at(MI_MV0X, mvRow, mvCol);
   int mvDiffRow = std::abs(candMvRow - mv_[0][0]);
   int mvDiffCol = std::abs(candMvCol - mv_[0][1]);
   bool valid = (mvDiffRow + mvDiffCol) <= threshold;
@@ -1323,15 +1338,17 @@ void TileDecoder::add_warp_sample(int deltaRow, int deltaCol) {
 void TileDecoder::find_warp_samples() {
   num_samples_ = 0;
   num_samples_scanned_ = 0;
-  bool doTopLeft = true, doTopRight = false;
+  // top-right defaults available; a wider above block covering the
+  // top-right corner disables it [libaom av1_findSamples]
+  bool doTopLeft = true, doTopRight = true;
   if (avail_u_) {
     int srcSize = plans_->at(MI_BSIZE, mi_row_ - 1, mi_col_);
     int srcW4 = kBlockWidth4[srcSize];
     if (bw4_ <= srcW4) {
       int colOffset = -(mi_col_ & (srcW4 - 1));
       if (colOffset < 0) doTopLeft = false;
-      if (colOffset + srcW4 > bw4_) doTopRight = true;
-      add_warp_sample(-1, 0);
+      if (colOffset + srcW4 > bw4_) doTopRight = false;
+      add_warp_sample_c(-1, 0, -1, colOffset);
     } else {
       int miStep;
       for (int i = 0; i < std::min(bw4_, mi_cols_ - mi_col_); i += miStep) {
@@ -1348,7 +1365,7 @@ void TileDecoder::find_warp_samples() {
     if (bh4_ <= srcH4) {
       int rowOffset = -(mi_row_ & (srcH4 - 1));
       if (rowOffset < 0) doTopLeft = false;
-      add_warp_sample(0, -1);
+      add_warp_sample_c(0, -1, rowOffset, -1);
     } else {
       int miStep;
       for (int i = 0; i < std::min(bh4_, mi_rows_ - mi_row_); i += miStep) {
@@ -1362,6 +1379,14 @@ void TileDecoder::find_warp_samples() {
   if (doTopLeft) add_warp_sample(-1, -1);
   if (doTopRight && std::max(bw4_, bh4_) <= 16) add_warp_sample(-1, bw4_);
   if (num_samples_ == 0 && num_samples_scanned_ > 0) num_samples_ = 1;
+  if (getenv("AV1N_SYN") && *getenv("AV1N_SYN") == '1') {
+    fprintf(stderr, "  WSAMP r=%d c=%d n=%d scanned=%d:", mi_row_, mi_col_,
+            num_samples_, num_samples_scanned_);
+    for (int i = 0; i < std::min(num_samples_, 8); i++)
+      fprintf(stderr, " (%d,%d,%d,%d)", cand_list_[i][0], cand_list_[i][1],
+              cand_list_[i][2], cand_list_[i][3]);
+    fprintf(stderr, "\n");
+  }
 }
 
 namespace {
@@ -1393,10 +1418,18 @@ void TileDecoder::warp_estimation() {
   warp_params_[2] = 1 << WARPEDMODEL_PREC_BITS;
   warp_params_[5] = 1 << WARPEDMODEL_PREC_BITS;
 
-  auto ls_sum = [](int a) { return 2 * a + 1; };
-  auto ls_sq = [&](int a) { return (ls_sum(a) * ls_sum(a) + 2) >> 2; };
-  auto ls_p1 = [&](int a, int b) { return (ls_sum(a) * ls_sum(b) - 1) >> 2; };
-  auto ls_p2 = [&](int a, int b) { return (ls_sum(a) * ls_sum(b) + 1) >> 2; };
+  // least-squares accumulators [SPEC §7.11.3.8 / libaom find_affine_int,
+  // verified against the installed binary's disassembly]: samples get a
+  // +4 (half-pel) centering, squares/"product2" a +16 rounding, then >>2,
+  // with each accumulator clamped to +-2^22.
+  auto ls_sq = [](int64_t a) { return ((a + 4) * (a + 4) + 16) >> 2; };
+  auto ls_p1 = [](int64_t a, int64_t b) { return ((a + 4) * (b + 4)) >> 2; };
+  auto ls_p2 = [](int64_t a, int64_t b) {
+    return ((a + 4) * (b + 4) + 16) >> 2;
+  };
+  auto acc = [](int64_t& t, int64_t v) {
+    t = std::clamp<int64_t>(t + v, -(1 << 22), (1 << 22) - 1);
+  };
 
   int64_t A[2][2] = {{0, 0}, {0, 0}};
   int64_t Bx[2] = {0, 0}, By[2] = {0, 0};
@@ -1410,13 +1443,13 @@ void TileDecoder::warp_estimation() {
     int dy = cand_list_[i][2] - duY;
     int dx = cand_list_[i][3] - duX;
     if (std::abs(sx - dx) < 256 && std::abs(sy - dy) < 256) {
-      A[0][0] += ls_sq(sx);
-      A[0][1] += ls_p1(sx, sy);
-      A[1][1] += ls_sq(sy);
-      Bx[0] += ls_p2(sx, dx);
-      Bx[1] += ls_p1(sy, dx);
-      By[0] += ls_p1(sx, dy);
-      By[1] += ls_p2(sy, dy);
+      acc(A[0][0], ls_sq(sx));
+      acc(A[0][1], ls_p1(sx, sy));
+      acc(A[1][1], ls_sq(sy));
+      acc(Bx[0], ls_p2(sx, dx));
+      acc(Bx[1], ls_p1(sy, dx));
+      acc(By[0], ls_p1(sx, dy));
+      acc(By[1], ls_p2(sy, dy));
     }
   }
   int64_t det = A[0][0] * A[1][1] - A[0][1] * A[0][1];
@@ -1431,19 +1464,18 @@ void TileDecoder::warp_estimation() {
     divFactor = divFactor * (1 << -divShift);
     divShift = 0;
   }
-  constexpr int WARPEDMODEL_NONDIAG_CLAMP = 1 << 13;
-  constexpr int WARPEDMODEL_TRANS_CLAMP = 1 << 23;
+  constexpr int NDIAG_CLAMP = (1 << 13) - 1;  // +-8191
+  constexpr int TRANS_MAX = (1 << 23) - 1;
+  constexpr int TRANS_MIN = -(1 << 23);
   auto diag = [&](int64_t v) {
     int64_t r = round2_signed(v * divFactor, divShift);
     return (int32_t)std::clamp<int64_t>(
-        r + (1 << WARPEDMODEL_PREC_BITS),
-        (1 << WARPEDMODEL_PREC_BITS) - WARPEDMODEL_NONDIAG_CLAMP,
-        (1 << WARPEDMODEL_PREC_BITS) + WARPEDMODEL_NONDIAG_CLAMP);
+        r, (1 << WARPEDMODEL_PREC_BITS) - NDIAG_CLAMP,
+        (1 << WARPEDMODEL_PREC_BITS) + NDIAG_CLAMP);
   };
   auto ndiag = [&](int64_t v) {
     int64_t r = round2_signed(v * divFactor, divShift);
-    return (int32_t)std::clamp<int64_t>(r, -WARPEDMODEL_NONDIAG_CLAMP,
-                                        WARPEDMODEL_NONDIAG_CLAMP);
+    return (int32_t)std::clamp<int64_t>(r, -NDIAG_CLAMP, NDIAG_CLAMP);
   };
   warp_params_[2] = diag(A[1][1] * Bx[0] - A[0][1] * Bx[1]);
   warp_params_[3] = ndiag(A[0][0] * Bx[1] - A[0][1] * Bx[0]);
@@ -1458,10 +1490,8 @@ void TileDecoder::warp_estimation() {
                ((int64_t)midX * warp_params_[4] +
                 (int64_t)midY * (warp_params_[5] -
                                  (1 << WARPEDMODEL_PREC_BITS)));
-  warp_params_[0] = (int32_t)std::clamp<int64_t>(
-      vx, -WARPEDMODEL_TRANS_CLAMP, WARPEDMODEL_TRANS_CLAMP - 1);
-  warp_params_[1] = (int32_t)std::clamp<int64_t>(
-      vy, -WARPEDMODEL_TRANS_CLAMP, WARPEDMODEL_TRANS_CLAMP - 1);
+  warp_params_[0] = (int32_t)std::clamp<int64_t>(vx, TRANS_MIN, TRANS_MAX);
+  warp_params_[1] = (int32_t)std::clamp<int64_t>(vy, TRANS_MIN, TRANS_MAX);
 }
 
 // ---------------------------------------------------------------------------

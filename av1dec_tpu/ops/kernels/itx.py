@@ -34,25 +34,29 @@ def _apply_1d(kind, vecs, n):
     return S.iidentity(vecs, n)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def inverse_transform_batch(coeffs, tx_size, tx_type):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def inverse_transform_batch(coeffs, tx_size, tx_type, bd=8):
     """coeffs: [B, adj_h, adj_w] int32 (coded layout, 64->32 clipped).
     Returns residual [B, h, w] int32."""
     w, h = S.TX_DIMS[tx_size]
     adj_w, adj_h = min(w, 32), min(h, 32)
     ck, rk, ud, lr = S.TX_1D[tx_type]
+    row_hi = (1 << (bd + 7)) - 1           # rowClampRange [SPEC §7.13.3]
+    col_hi = (1 << (max(bd + 6, 16) - 1)) - 1
     coeffs = coeffs.astype(jnp.int32)
     buf = jnp.zeros((coeffs.shape[0], h, w), jnp.int32)
     buf = buf.at[:, :adj_h, :adj_w].set(coeffs)
 
     if (int(math.log2(w)) - int(math.log2(h))) % 2 != 0:
         buf = _round_shift(buf * S.NEW_INV_SQRT2, S.COS_BIT)
+    buf = jnp.clip(buf, -row_hi - 1, row_hi)
 
     # row transforms along width; lanes are [B, h]
     cols_in = [buf[:, :, j] for j in range(w)]
     rows_out = _apply_1d(rk, cols_in, w)
     buf = jnp.stack(rows_out, axis=2)            # [B, h, w]
-    buf = _round_shift(buf, S._ROW_SHIFT[(w, h)])
+    buf = jnp.clip(_round_shift(buf, S._ROW_SHIFT[(w, h)]),
+                   -col_hi - 1, col_hi)
     rows_in = [buf[:, r, :] for r in range(h)]
     cols_out = _apply_1d(ck, rows_in, h)
     res = jnp.stack(cols_out, axis=1)            # [B, h, w]

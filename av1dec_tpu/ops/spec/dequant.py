@@ -41,7 +41,9 @@ def dequant_block(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q,
     shift = tx_scale_shift(tx_size)
     mag = (np.abs(lv) * q) & 0xFFFFFF
     mag >>= shift
-    return np.where(lv < 0, -mag, mag)
+    # CoeffMin/CoeffMax clamp [SPEC §7.12.3]
+    hi = (1 << (7 + bd)) - 1
+    return np.clip(np.where(lv < 0, -mag, mag), -hi - 1, hi)
 
 
 def dequant_batch(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q):
@@ -55,4 +57,5 @@ def dequant_batch(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q):
     q[:, 0] = dcq
     shift = tx_scale_shift(tx_size)
     mag = ((np.abs(lv) * q) & 0xFFFFFF) >> shift
-    return np.where(lv < 0, -mag, mag)
+    hi = (1 << (7 + bd)) - 1
+    return np.clip(np.where(lv < 0, -mag, mag), -hi - 1, hi)

@@ -186,15 +186,22 @@ def warp_block(ref, params, x, y, w, h, bd, is_compound, ref_w, ref_h,
         for i8 in range(0, w, 8):
             src_x = (x + i8 + 4) << sub_x
             src_y = (y + j8 + 4) << sub_y
-            dst_x = params[2] * src_x + params[3] * src_y + params[0]
-            dst_y = params[4] * src_x + params[5] * src_y + params[1]
-            x4 = (dst_x >> sub_x) >> (WARPEDMODEL_PREC_BITS - 6)
-            y4 = (dst_y >> sub_y) >> (WARPEDMODEL_PREC_BITS - 6)
-            ix4, sx4 = x4 >> 6, x4 & 63
-            iy4, sy4 = y4 >> 6, y4 & 63
+            dst_x = int(params[2]) * src_x + int(params[3]) * src_y \
+                + int(params[0])
+            dst_y = int(params[4]) * src_x + int(params[5]) * src_y \
+                + int(params[1])
+            x4 = dst_x >> sub_x   # full 2^-16 precision [libaom warp_affine]
+            y4 = dst_y >> sub_y
+            ix4, sx4 = x4 >> WARPEDMODEL_PREC_BITS, \
+                x4 & ((1 << WARPEDMODEL_PREC_BITS) - 1)
+            iy4, sy4 = y4 >> WARPEDMODEL_PREC_BITS, \
+                y4 & ((1 << WARPEDMODEL_PREC_BITS) - 1)
+            # shift the shear origin to the block corner, then align the
+            # subpel base to the trimmed parameter grid
+            sx4 = (sx4 + alpha * (-4) + beta * (-4)) & ~63
+            sy4 = (sy4 + gamma * (-4) + delta * (-4)) & ~63
             # horizontal pass -> intermediate [15][8]
-            sx = ((sx4 << WARPEDDIFF_PREC_BITS) +
-                  alpha * i2h[None, :] + beta * i1h[:, None])  # [15,8]
+            sx = sx4 + alpha * (i2h + 4)[None, :] + beta * (i1h + 4)[:, None]
             offs = _round2s(sx, WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
             rows = np.clip(iy4 + i1h, 0, last_y)               # [15]
             cols = np.clip(ix4 + i2h[:, None] - 3 + np.arange(8)[None, :],
@@ -206,8 +213,7 @@ def warp_block(ref, params, x, y, w, h, bd, is_compound, ref_w, ref_h,
             ow = min(8, w - i8)
             i1v = np.arange(-4, -4 + oh)
             i2v = np.arange(-4, -4 + ow)
-            sy = ((sy4 << WARPEDDIFF_PREC_BITS) +
-                  gamma * i2v[None, :] + delta * i1v[:, None])  # [oh,ow]
+            sy = sy4 + gamma * (i2v + 4)[None, :] + delta * (i1v + 4)[:, None]
             offs_v = _round2s(sy, WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
             # sample taps: intermediate[i1 + i3 + 4][i2 + 4]
             tap_rows = i1v[:, None, None] + np.arange(8)[None, None, :] + 4

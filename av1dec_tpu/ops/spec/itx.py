@@ -462,23 +462,26 @@ def _apply_1d(kind, vecs, n):
     return iidentity(vecs, n)
 
 
-def inverse_transform_lanes(coeffs, tx_size, tx_type):
+def inverse_transform_lanes(coeffs, tx_size, tx_type, bd=8):
     """Batched inverse transform: coeffs [B, adj_h*adj_w] (coded layout),
     returns [B, h, w].  Same math as inverse_transform — the 1-D kernels
     are lane-vectorized, so the batch rides along as an extra axis."""
     w, h = TX_DIMS[tx_size]
     adj_w, adj_h = min(w, 32), min(h, 32)
     ck, rk, ud, lr = TX_1D[tx_type]
+    row_hi = (1 << (bd + 7)) - 1           # rowClampRange [SPEC §7.13.3]
+    col_hi = (1 << (max(bd + 6, 16) - 1)) - 1
     B = coeffs.shape[0]
     buf = np.zeros((B, h, w), dtype=np.int64)
     buf[:, :adj_h, :adj_w] = np.asarray(coeffs, np.int64).reshape(
         B, adj_h, adj_w)
     if (int(math.log2(w)) - int(math.log2(h))) % 2 != 0:
         buf = round_shift(buf * NEW_INV_SQRT2, COS_BIT)
+    buf = np.clip(buf, -row_hi - 1, row_hi)
     cols_in = [buf[:, :, j] for j in range(w)]          # lanes [B, h]
     rows_out = _apply_1d(rk, cols_in, w)
     buf = np.stack(rows_out, axis=2)
-    buf = round_shift(buf, _ROW_SHIFT[(w, h)])
+    buf = np.clip(round_shift(buf, _ROW_SHIFT[(w, h)]), -col_hi - 1, col_hi)
     rows_in = [buf[:, r, :] for r in range(h)]          # lanes [B, w]
     cols_out = _apply_1d(ck, rows_in, h)
     res = np.stack(cols_out, axis=1)
@@ -490,7 +493,7 @@ def inverse_transform_lanes(coeffs, tx_size, tx_type):
     return res
 
 
-def inverse_transform(coeffs, tx_size, tx_type):
+def inverse_transform(coeffs, tx_size, tx_type, bd=8):
     """coeffs: flat int array in coded (adjusted, <=32x32) row-major
     layout; returns residual (h, w) int64."""
     if tx_size == 19:  # lossless WHT
@@ -498,18 +501,21 @@ def inverse_transform(coeffs, tx_size, tx_type):
     w, h = TX_DIMS[tx_size]
     adj_w, adj_h = min(w, 32), min(h, 32)
     ck, rk, ud, lr = TX_1D[tx_type]
+    row_hi = (1 << (bd + 7)) - 1           # rowClampRange [SPEC §7.13.3]
+    col_hi = (1 << (max(bd + 6, 16) - 1)) - 1
     buf = np.zeros((h, w), dtype=np.int64)
     buf[:adj_h, :adj_w] = np.asarray(coeffs, dtype=np.int64).reshape(
         adj_h, adj_w)
 
     if (int(math.log2(w)) - int(math.log2(h))) % 2 != 0:
         buf = round_shift(buf * NEW_INV_SQRT2, COS_BIT)
+    buf = np.clip(buf, -row_hi - 1, row_hi)
 
     # row transforms: transform along width; lanes = rows
     cols_in = [buf[:, j] for j in range(w)]
     rows_out = _apply_1d(rk, cols_in, w)          # list of w arrays (h,)
     buf = np.stack(rows_out, axis=1)              # (h, w)
-    buf = round_shift(buf, _ROW_SHIFT[(w, h)])
+    buf = np.clip(round_shift(buf, _ROW_SHIFT[(w, h)]), -col_hi - 1, col_hi)
     # column transforms: transform along height; lanes = columns
     rows_in = [buf[r, :] for r in range(h)]
     cols_out = _apply_1d(ck, rows_in, h)          # list of h arrays (w,)

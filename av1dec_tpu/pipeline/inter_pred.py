@@ -203,10 +203,13 @@ class InterPredictor:
                     frame[cy: cy + ch, cx: cx + cw] = pred
                 continue
 
+            # warp applies only when the PLANE region is >= 8x8
+            # [SPEC §7.11.3.1 useWarp]
+            plane_warp = use_warp and pw >= 8 and ph >= 8
             if not is_compound:
                 pred = self._pred_one(plane, px0, py0, pw, ph, mv[0][0],
                                       mv[0][1], ref0, interp,
-                                      False, use_warp, warp_params,
+                                      False, plane_warp, warp_params,
                                       warp_shear, intrabc)
                 if interintra:
                     pred = self._interintra(plane, by, bx, bw4, bh4, px0,
@@ -216,14 +219,14 @@ class InterPredictor:
             else:
                 p0 = self._pred_one(plane, px0, py0, pw, ph, mv[0][0],
                                     mv[0][1], ref0, interp, True,
-                                    use_warp and mode == GLOBAL_GLOBALMV and
-                                    motion_mode != 2, warp_params,
+                                    plane_warp and mode == GLOBAL_GLOBALMV
+                                    and motion_mode != 2, warp_params,
                                     warp_shear, False)
                 # second list: global warp applies per-ref
                 use_warp1 = False
                 wp1 = None
                 sh1 = None
-                if min(4 * bw4, 4 * bh4) >= 8 and \
+                if min(4 * bw4, 4 * bh4) >= 8 and pw >= 8 and ph >= 8 and \
                         mode == GLOBAL_GLOBALMV and \
                         self.gm_type[ref1] > 1 and not self._scaled(ref1):
                     sh1 = self._gm_shear_params(ref1)

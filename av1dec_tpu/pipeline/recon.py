@@ -162,11 +162,11 @@ class FrameRecon:
                     dq = dequant.dequant_block(
                         levels[b], tsz, int(qidx[b]), self.bd,
                         int(dcd[b]), int(acd[b]), bool(lossless[b]))
-                    res[i] = itx.inverse_transform(dq, tsz, tt)
+                    res[i] = itx.inverse_transform(dq, tsz, tt, self.bd)
                 continue
             dq = dequant.dequant_batch(levels, tsz, qidx, self.bd, dcd,
                                        acd)
-            out = itx.inverse_transform_lanes(dq, tsz, tt)
+            out = itx.inverse_transform_lanes(dq, tsz, tt, self.bd)
             for b, i in enumerate(idxs):
                 res[i] = out[b]
         return res

@@ -15,6 +15,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The sandbox's sitecustomize force-registers a TPU platform plugin that
+# wins default-backend selection regardless of JAX_PLATFORMS; pin the
+# default to CPU so unit tests never compile over the device tunnel.
+try:
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for p in (_REPO, os.path.join(_REPO, "tools")):
     if p not in sys.path:
