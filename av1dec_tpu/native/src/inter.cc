@@ -1453,6 +1453,13 @@ void TileDecoder::warp_estimation() {
     }
   }
   int64_t det = A[0][0] * A[1][1] - A[0][1] * A[0][1];
+  if (getenv("AV1N_SYN") && *getenv("AV1N_SYN") == '1') {
+    fprintf(stderr,
+            "  WEST r=%d c=%d A=[%ld %ld %ld] Bx=[%ld %ld] By=[%ld %ld] "
+            "det=%ld\n",
+            mi_row_, mi_col_, (long)A[0][0], (long)A[0][1], (long)A[1][1],
+            (long)Bx[0], (long)Bx[1], (long)By[0], (long)By[1], (long)det);
+  }
   if (det == 0) {
     warp_invalid_ = 1;
     return;
@@ -1492,6 +1499,11 @@ void TileDecoder::warp_estimation() {
                                  (1 << WARPEDMODEL_PREC_BITS)));
   warp_params_[0] = (int32_t)std::clamp<int64_t>(vx, TRANS_MIN, TRANS_MAX);
   warp_params_[1] = (int32_t)std::clamp<int64_t>(vy, TRANS_MIN, TRANS_MAX);
+  if (getenv("AV1N_SYN") && *getenv("AV1N_SYN") == '1') {
+    fprintf(stderr, "  WPAR r=%d c=%d p=[%d %d %d %d %d %d]\n", mi_row_,
+            mi_col_, warp_params_[0], warp_params_[1], warp_params_[2],
+            warp_params_[3], warp_params_[4], warp_params_[5]);
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -50,8 +50,18 @@ def scale_values(ref_w: int, ref_h: int, frame_w: int, frame_h: int):
 
 
 def _round2s(x, n):
-    # signed Round2 (arithmetic shift with bias)
+    # Round2 with arithmetic shift (floor); fine for non-negative values
+    # and for the spec's plain Round2 on signed quantities.
     return (x + (1 << (n - 1))) >> n
+
+
+def _round2_signed(x, n):
+    """Round2Signed [SPEC §4.7]: round half away from zero.  Differs
+    from _round2s exactly at negative half-boundaries (e.g. -1056>>6)."""
+    if isinstance(x, np.ndarray):
+        m = (np.abs(x) + (1 << (n - 1))) >> n
+        return np.where(x < 0, -m, m)
+    return _round2s(x, n) if x >= 0 else -_round2s(-x, n)
 
 
 def mv_scaling(x, y, mv_row, mv_col, sub_x, sub_y, x_scale, y_scale):
@@ -63,8 +73,8 @@ def mv_scaling(x, y, mv_row, mv_col, sub_x, sub_y, x_scale, y_scale):
     base_y = orig_y * y_scale - (half << REF_SCALE_SHIFT)
     off = (1 << (SCALE_SUBPEL_BITS - SUBPEL_BITS)) // 2  # 32
     shift = REF_SCALE_SHIFT + SUBPEL_BITS - SCALE_SUBPEL_BITS  # 8
-    start_x = _round2s(base_x, shift) + off
-    start_y = _round2s(base_y, shift) + off
+    start_x = _round2_signed(base_x, shift) + off  # Round2Signed [§7.11.3.3]
+    start_y = _round2_signed(base_y, shift) + off
     step_x = _round2s(x_scale, REF_SCALE_SHIFT - SCALE_SUBPEL_BITS)
     step_y = _round2s(y_scale, REF_SCALE_SHIFT - SCALE_SUBPEL_BITS)
     return start_x, start_y, step_x, step_y
@@ -151,15 +161,19 @@ def setup_shear(params):
     beta0 = np.clip(params[3], -32768, 32767)
     div_shift, div_factor = resolve_divisor(params[2])
     v = (params[4] << WARPEDMODEL_PREC_BITS)
-    gamma0 = int(np.clip(_round2s(v * div_factor, div_shift), -32768, 32767))
+    gamma0 = int(np.clip(_round2_signed(v * div_factor, div_shift),
+                         -32768, 32767))
     w = params[3] * params[4]
     delta0 = int(np.clip(
-        params[5] - _round2s(w * div_factor, div_shift) -
+        params[5] - _round2_signed(w * div_factor, div_shift) -
         (1 << WARPEDMODEL_PREC_BITS), -32768, 32767))
 
     def trim(a):
-        # round to a multiple of 1 << WARP_PARAM_REDUCE_BITS (6)
-        return (_round2s(a, 6)) * (1 << 6)
+        # round to a multiple of 1 << WARP_PARAM_REDUCE_BITS (6);
+        # Round2Signed, NOT floor-round — differs at negative halves
+        # (verified against libaom av1_get_shear_params: beta -1056 ->
+        # -1088, not -1024)
+        return (_round2_signed(a, 6)) * (1 << 6)
 
     alpha = trim(int(alpha0))
     beta = trim(int(beta0))

@@ -253,6 +253,8 @@ class MiniDecoder:
         self.mode = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.skipg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.bsizeg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
+        self.byg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
+        self.bxg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.cdef_read = set()
         self.sb4 = 32 if seq["use_128x128_superblock"] else 16
         self.bdec = [np.zeros((38, 38), dtype=np.int64) for _ in range(3)]
@@ -292,6 +294,7 @@ class MiniDecoder:
             "filter_intra": self.fig, "cfl_alpha_idx": self.cfl_idxg,
             "cfl_signs": self.cfl_signsg, "skip": self.skipg,
             "bsize": self.bsizeg,
+            "by": self.byg, "bx": self.bxg,
             "palette_y": np.zeros_like(self.mode),
             "palette_uv": np.zeros_like(self.mode),
             "intrabc": np.zeros_like(self.mode),
@@ -633,6 +636,8 @@ class MiniDecoder:
         self.mode[r: r + bh4, c: c + bw4] = ymode
         self.skipg[r: r + bh4, c: c + bw4] = skip
         self.bsizeg[r: r + bh4, c: c + bw4] = bsize
+        self.byg[r: r + bh4, c: c + bw4] = r
+        self.bxg[r: r + bh4, c: c + bw4] = c
         self.uv_modeg[r: r + bh4, c: c + bw4] = uv_mode
         self.angle_yg[r: r + bh4, c: c + bw4] = angle_y
         self.angle_uvg[r: r + bh4, c: c + bw4] = angle_uv
