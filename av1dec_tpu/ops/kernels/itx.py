@@ -77,8 +77,35 @@ def dequant_batch(levels, qvec, tx_size, bd, lossless):
     shift = {3: 1, 9: 1, 10: 1, 15: 1, 16: 1,
              4: 2, 11: 2, 12: 2, 17: 2, 18: 2}.get(tx_size, 0)
     # tx_scale shift by sqr-up size [SPEC 7.12.3 Dequantization]
-    d = (levels * qvec) & 0xFFFFFF
-    return d >> shift
+    mag = ((jnp.abs(levels) * qvec) & 0xFFFFFF) >> shift
+    d = jnp.where(levels < 0, -mag, mag)
+    # CoeffMin/CoeffMax clamp [SPEC §7.12.3]
+    hi = (1 << (7 + bd)) - 1
+    return jnp.clip(d, -hi - 1, hi)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def residual_bucket(levels, dcq, acq, tx_size, tx_type, bd):
+    """Fused dequant + inverse transform for one (tx_size, tx_type)
+    bucket: levels [B, n] int32 (coded layout), dcq/acq [B] int32
+    per-block quantizers.  Returns residual [B, h, w] int32.
+
+    This is the decode-path device kernel: the host bucket loop uploads
+    levels once per bucket and downloads residual blocks once.
+    [SPEC §7.12.3 dequant, §7.13.3 inverse transform]
+    """
+    w, h = S.TX_DIMS[tx_size]
+    adj_w, adj_h = min(w, 32), min(h, 32)
+    shift = {3: 1, 9: 1, 10: 1, 15: 1, 16: 1,
+             4: 2, 11: 2, 12: 2, 17: 2, 18: 2}.get(tx_size, 0)
+    q = jnp.broadcast_to(acq[:, None], levels.shape)
+    q = q.at[:, 0].set(dcq)
+    mag = ((jnp.abs(levels) * q) & 0xFFFFFF) >> shift
+    d = jnp.where(levels < 0, -mag, mag)
+    hi = (1 << (7 + bd)) - 1
+    d = jnp.clip(d, -hi - 1, hi)
+    return inverse_transform_batch(d.reshape(-1, adj_h, adj_w),
+                                   tx_size, tx_type, bd)
 
 
 def residual_step(levels, qvec, pred, tx_size, tx_type, bd):

@@ -9,6 +9,8 @@ kernels with batched device code.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from av1dec_tpu.ops.spec import dequant, intra, itx
@@ -17,6 +19,20 @@ from av1dec_tpu.ops.spec import dequant, intra, itx
 TX_DIMS = itx.TX_DIMS
 DC_PRED = 0
 UV_CFL_PRED = 13
+
+# device mode: run the residual batches and whole-frame filters as
+# jitted JAX code on the default device (TPU under axon; CPU in tests).
+# Opt-in because unit tests cross-check the NumPy spec model.
+_DEVICE = os.environ.get("AV1DEC_DEVICE", "0") == "1"
+
+
+def set_device_mode(on: bool) -> None:
+    global _DEVICE
+    _DEVICE = bool(on)
+
+
+def device_mode() -> bool:
+    return _DEVICE
 
 
 def _alpha(joint_sign, alpha_idx, plane):
@@ -131,6 +147,7 @@ class FrameRecon:
                 continue
             buckets.setdefault((int(rec[3]), int(rec[4])), []).append(i)
         res = {}
+        pending = []
         for (tsz, tt), idxs in buckets.items():
             w, h = (4, 4) if tsz == 19 else TX_DIMS[tsz]
             aw, ah = (4, 4) if tsz == 19 else (min(w, 32), min(h, 32))
@@ -164,12 +181,56 @@ class FrameRecon:
                         int(dcd[b]), int(acd[b]), bool(lossless[b]))
                     res[i] = itx.inverse_transform(dq, tsz, tt, self.bd)
                 continue
-            dq = dequant.dequant_batch(levels, tsz, qidx, self.bd, dcd,
-                                       acd)
-            out = itx.inverse_transform_lanes(dq, tsz, tt, self.bd)
-            for b, i in enumerate(idxs):
-                res[i] = out[b]
+            if _DEVICE:
+                pending.append((idxs, self._residuals_device(
+                    levels, qidx, dcd, acd, tsz, tt, B), B))
+            else:
+                dq = dequant.dequant_batch(levels, tsz, qidx, self.bd,
+                                           dcd, acd)
+                out = itx.inverse_transform_lanes(dq, tsz, tt, self.bd)
+                for b, i in enumerate(idxs):
+                    res[i] = out[b]
+        if pending:
+            # ONE device->host transfer for all buckets: flatten each
+            # bucket on device and concatenate — link round-trip latency
+            # dominates at these sizes, so a single fetch wins big
+            import jax
+            import jax.numpy as jnp
+            flat = jnp.concatenate([d.reshape(-1) for _, d, _ in pending])
+            host = np.asarray(jax.device_get(flat))
+            off = 0
+            for (idxs, d, B) in pending:
+                n = int(np.prod(d.shape))
+                out = host[off: off + n].reshape(d.shape)[:B] \
+                    .astype(np.int64)
+                off += n
+                for b, i in enumerate(idxs):
+                    res[i] = out[b]
         return res
+
+    def _residuals_device(self, levels, qidx, dcd, acd, tsz, tt, B):
+        """Device residual bucket: dequant + inverse transform jitted
+        (async — returns the un-fetched device array).  Batch is padded
+        to the next power of two so each (tsz, tt, B') shape compiles
+        once and is reused across frames."""
+        import jax.numpy as jnp
+
+        from av1dec_tpu.ops.kernels import itx as K
+        from av1dec_tpu.ops.tables_data import AC_Q, DC_Q
+
+        bi = {8: 0, 10: 1, 12: 2}[self.bd]
+        dcq = DC_Q[bi, np.clip(qidx + dcd, 0, 255)].astype(np.int32)
+        acq = AC_Q[bi, np.clip(qidx + acd, 0, 255)].astype(np.int32)
+        Bp = 1 << max(0, (B - 1).bit_length())
+        if Bp != B:
+            levels = np.concatenate(
+                [levels, np.zeros((Bp - B,) + levels.shape[1:],
+                                  levels.dtype)])
+            dcq = np.concatenate([dcq, np.ones(Bp - B, np.int32)])
+            acq = np.concatenate([acq, np.ones(Bp - B, np.int32)])
+        return K.residual_bucket(jnp.asarray(levels.astype(np.int32)),
+                                 jnp.asarray(dcq), jnp.asarray(acq),
+                                 tsz, tt, self.bd)
 
     def run(self):
         plans = self.plans
@@ -272,9 +333,14 @@ class FrameRecon:
         lr_types = (self.hdr.get("lr") or {}).get(
             "frame_restoration_type", [0, 0, 0])
         pre_cdef = [p.copy() for p in self.planes] if any(lr_types) else None
-        from av1dec_tpu.ops.spec import cdef_vec
-        cdef_vec.cdef_frame(self.planes, self.seq, self.hdr, self.plans,
-                            self.bd)
+        if _DEVICE:
+            from av1dec_tpu.ops.kernels import cdef as cdef_dev
+            cdef_dev.cdef_frame(self.planes, self.seq, self.hdr,
+                                self.plans, self.bd)
+        else:
+            from av1dec_tpu.ops.spec import cdef_vec
+            cdef_vec.cdef_frame(self.planes, self.seq, self.hdr,
+                                self.plans, self.bd)
         if self.hdr.get("use_superres"):
             from av1dec_tpu.ops.spec import superres
             self.planes = superres.superres_frame(
