@@ -15,7 +15,9 @@ import subprocess
 from typing import List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libav1dec_native.so")
+_LIB_PATH = os.environ.get(
+    "AV1DEC_NATIVE_LIB",
+    os.path.join(_NATIVE_DIR, "build", "libav1dec_native.so"))
 
 _lib = None
 

@@ -90,8 +90,11 @@ const uint8_t kAdjustedTxSize[TX_SIZES_ALL] = {
 
 const uint8_t kIntraModeContext[INTRA_MODES] = {0, 1, 2, 3, 4, 4, 4,
                                                 4, 3, 0, 1, 2, 0};
+// rect-ext tail is {0,0,1,1,2,2} (libaom size_group_lookup), NOT the
+// width-based {1,1,2,2,3,3}: verified by forged-bitstream probes against
+// the libaom decoder (first divergent inter syntax on 4-way partitions)
 const uint8_t kSizeGroup[BLOCK_SIZES_ALL] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
-                                             3, 3, 3, 3, 3, 1, 1, 2, 2, 3, 3};
+                                             3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2};
 const uint8_t kIntraModeToTxType[UV_INTRA_MODES] = {
     DCT_DCT,   ADST_DCT,  DCT_ADST,  DCT_DCT, ADST_ADST, ADST_DCT,
     DCT_ADST,  DCT_ADST,  ADST_DCT,  ADST_ADST, ADST_DCT, DCT_ADST,

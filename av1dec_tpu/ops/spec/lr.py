@@ -173,15 +173,20 @@ def _sgr(src, set_idx, xqd, bd):
     x = src[3:3 + h, 3:3 + w]
     u = x << RST_BITS
     v = u.astype(np.int64) << PRJ_BITS
+    # xq derivation mirrors libaom av1_decode_xq: with both radii active
+    # the second weight is 128 - xq0 - xqd[1]
+    if r0 == 0:
+        xq0, xq1 = 0, (1 << PRJ_BITS) - xqd[1]
+    elif r1 == 0:
+        xq0, xq1 = xqd[0], 0
+    else:
+        xq0, xq1 = xqd[0], (1 << PRJ_BITS) - xqd[0] - xqd[1]
     if r0:
         flt0 = _sgr_box(src, r0, s0, bd)
-        v = v + xqd[0] * (flt0 - u)
-        w1 = xqd[1]
-    else:
-        w1 = (1 << PRJ_BITS) - xqd[1]
+        v = v + xq0 * (flt0 - u)
     if r1:
         flt1 = _sgr_box(src, r1, s1, bd)
-        v = v + w1 * (flt1 - u)
+        v = v + xq1 * (flt1 - u)
     s = _round2(v, PRJ_BITS + RST_BITS)
     return np.clip(s, 0, (1 << bd) - 1)
 

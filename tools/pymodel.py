@@ -16,7 +16,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, "tools")
-from gen_cdf_tables import TABLES, rodata, AOM, SVT  # noqa: E402
+from gen_cdf_tables import TABLES, rodata, AOM, SVT, apply_overrides  # noqa: E402
 
 EC_MIN_PROB = 4
 
@@ -26,8 +26,9 @@ def load_tables():
     out = {}
     for name, source, off, dims in TABLES:
         total = int(np.prod(dims))
-        out[name] = src[source][off: off + total].reshape(dims).astype(
-            np.int64)
+        out[name] = apply_overrides(
+            name, src[source][off: off + total].reshape(dims).astype(
+                np.int64).copy())
     return out
 
 
@@ -90,6 +91,9 @@ class Msac:
         val = self.val - cur
         self._renorm(rng, val)
         self.trace.append((nsyms, sym, self.rng, int(icdf[0])))
+        if getattr(self, "record", None) is not None:
+            self.record.append(
+                ("S", [int(icdf[k]) for k in range(nsyms - 1)], nsyms, sym))
         return sym
 
     def read_symbol(self, cdf_row, nsyms):
@@ -113,6 +117,8 @@ class Msac:
             val = self.val
         self._renorm(rng, val)
         self.trace.append(("B", ret, self.rng, fv))
+        if getattr(self, "record", None) is not None:
+            self.record.append(("B", fv, ret))
         return ret
 
     def read_literal(self, n):
@@ -252,6 +258,7 @@ class MiniDecoder:
                                   + 32, dtype=np.int64) for p in range(3)]
         self.mode = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.skipg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
+        self.cdefg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.bsizeg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.byg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
         self.bxg = np.zeros((self.mi_rows, self.mi_cols), dtype=np.int64)
@@ -308,7 +315,7 @@ class MiniDecoder:
             "delta_lf2": np.zeros_like(self.mode),
             "delta_lf3": np.zeros_like(self.mode),
             "seg_id": np.zeros_like(self.mode),
-            "cdef": np.zeros_like(self.mode),
+            "cdef": self.cdefg,
         }[name]
 
     def decode_tile(self):
@@ -583,12 +590,14 @@ class MiniDecoder:
             key = (r >> 4, c >> 4)
             if key not in self.cdef_read:
                 self.cdef_read.add(key)
-                self.r.read_literal(self.hdr["cdef"]["bits"])
+                cv = self.r.read_literal(self.hdr["cdef"]["bits"])
                 h64 = max(1, bh4 >> 4)
                 w64 = max(1, bw4 >> 4)
                 for i in range(h64):
                     for j in range(w64):
                         self.cdef_read.add(((r >> 4) + i, (c >> 4) + j))
+                        r0, c0 = ((r >> 4) + i) << 4, ((c >> 4) + j) << 4
+                        self.cdefg[r0: r0 + 16, c0: c0 + 16] = cv
         # delta q/lf assumed absent (delta_q_present == 0 in test streams)
         assert not self.hdr["delta_q_present"]
         # y mode (kf)
@@ -658,7 +667,9 @@ class MiniDecoder:
         maxrect = MAXRECT[bsize]
         if self.hdr["coded_lossless"]:
             return 0
-        if self.hdr["tx_mode"] != 2 or bsize == 0 or skip:
+        # allowSelect = !skip || !is_inter: intra blocks read a tx depth
+        # even when skipped [SPEC §5.11.16 read_block_tx_size]
+        if self.hdr["tx_mode"] != 2 or bsize == 0:
             return 0 if self.hdr["tx_mode"] == 0 else maxrect
         depth_syms = min(MAXDEPTH[bsize], 2) + 1
         t, d = maxrect, 0
