@@ -73,10 +73,10 @@ def dequant_batch(levels, qvec, tx_size, bd, lossless):
     """levels: [B, n] int32, qvec: [B, n] int32 dequant factors
     (dc at position 0, ac elsewhere, precomputed on host).
     Returns dequantized coeffs [B, n] int32. [SPEC §7.12.3]"""
-    # Tx_Scale: square-up 32 -> >>1, square-up 64 -> >>2
-    shift = {3: 1, 9: 1, 10: 1, 15: 1, 16: 1,
-             4: 2, 11: 2, 12: 2, 17: 2, 18: 2}.get(tx_size, 0)
-    # tx_scale shift by sqr-up size [SPEC 7.12.3 Dequantization]
+    # Tx_Scale by pixel count: (pels>256) + (pels>1024) [libaom
+    # av1_get_tx_scale; verified via tools/itx_oracle.py]
+    shift = {3: 1, 9: 1, 10: 1, 17: 1, 18: 1,
+             4: 2, 11: 2, 12: 2}.get(tx_size, 0)
     mag = ((jnp.abs(levels) * qvec) & 0xFFFFFF) >> shift
     d = jnp.where(levels < 0, -mag, mag)
     # CoeffMin/CoeffMax clamp [SPEC §7.12.3]
@@ -96,8 +96,8 @@ def residual_bucket(levels, dcq, acq, tx_size, tx_type, bd):
     """
     w, h = S.TX_DIMS[tx_size]
     adj_w, adj_h = min(w, 32), min(h, 32)
-    shift = {3: 1, 9: 1, 10: 1, 15: 1, 16: 1,
-             4: 2, 11: 2, 12: 2, 17: 2, 18: 2}.get(tx_size, 0)
+    shift = {3: 1, 9: 1, 10: 1, 17: 1, 18: 1,
+             4: 2, 11: 2, 12: 2}.get(tx_size, 0)
     q = jnp.broadcast_to(acq[:, None], levels.shape)
     q = q.at[:, 0].set(dcq)
     mag = ((jnp.abs(levels) * q) & 0xFFFFFF) >> shift

@@ -16,13 +16,17 @@ def ac_q(qindex, bd):
 
 
 def tx_scale_shift(tx_size):
-    """av1_get_tx_scale: extra right-shift for large transforms."""
-    # tx_size per native enum; sqr-up 32 -> 1, 64 -> 2
-    SQR_UP = [0, 1, 2, 3, 4, 1, 1, 2, 2, 3, 3, 4, 4, 2, 2, 3, 3, 4, 4]
+    """av1_get_tx_scale: extra right-shift by PIXEL COUNT —
+    (pels > 256) + (pels > 1024) — NOT by square-up size.  8x32/32x8
+    (256 pels) shift 0, 16x64/64x16 (1024 pels) shift 1; verified
+    against libaom via forged-bitstream transform fuzzing
+    (tools/itx_oracle.py)."""
     if tx_size == 19:  # WHT
         return 0
-    s = SQR_UP[tx_size]
-    return 1 if s == 3 else 2 if s == 4 else 0
+    from av1dec_tpu.ops.spec.itx import TX_DIMS
+    w, h = TX_DIMS[tx_size]
+    pels = w * h
+    return (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
 
 
 def dequant_block(levels, tx_size, qindex, bd, dc_delta_q, ac_delta_q,
