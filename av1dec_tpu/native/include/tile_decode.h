@@ -78,8 +78,10 @@ class TileDecoder {
   int inter_block_mode_info();
   void read_ref_frames();
   void find_mv_stack(bool isCompound);
-  void scan_row(int deltaRow, bool isCompound);
-  void scan_col(int deltaCol, bool isCompound);
+  void scan_row(int deltaRow, bool isCompound, int maxRowOffset,
+                int* processedRows);
+  void scan_col(int deltaCol, bool isCompound, int maxColOffset,
+                int* processedCols);
   void scan_point(int deltaRow, int deltaCol, bool isCompound);
   void add_ref_mv_candidate(int mvRow, int mvCol, bool isCompound,
                             int weight);

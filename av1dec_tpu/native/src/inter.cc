@@ -548,47 +548,71 @@ void TileDecoder::add_ref_mv_candidate(int mvRow, int mvCol, bool isCompound,
   }
 }
 
-void TileDecoder::scan_row(int deltaRow, bool isCompound) {
-  // [SPEC §7.10.2.2 scan_row]
+void TileDecoder::scan_row(int deltaRow, bool isCompound, int maxRowOffset,
+                           int* processedRows) {
+  // [SPEC §7.10.2.2 scan_row] - candidate weight is len*max(2,inc) with
+  // processed-rows bookkeeping that suppresses redundant outer-ring scans
+  // (verified against libaom recon for 4-wide blocks on tied weights)
   int deltaCol = 0;
   int end4 = std::min(std::min(bw4_, mi_cols_ - mi_col_), 16);
   bool useStep16 = bw4_ >= 16;
   if (std::abs(deltaRow) > 1) {
-    deltaRow += mi_row_ & 1;
-    deltaCol = 1 - (mi_col_ & 1);
+    deltaCol = 1;
+    if ((mi_col_ & 1) && bw4_ < 2) deltaCol--;
   }
   int i = 0;
   while (i < end4) {
     int mvRow = mi_row_ + deltaRow;
     int mvCol = mi_col_ + deltaCol + i;
     if (!is_inside(mvRow, mvCol)) break;
-    int len = std::min(2, (int)kBlockWidth4[plans_->at(MI_BSIZE, mvRow,
-                                                       mvCol)]);
-    if (std::abs(deltaRow) > 1) len = std::max(2, len);
-    if (useStep16) len = std::max(4, len);
-    add_ref_mv_candidate(mvRow, mvCol, isCompound, len * 2);
+    int cand = plans_->at(MI_BSIZE, mvRow, mvCol);
+    int n4w = kBlockWidth4[cand];
+    int len = std::min(bw4_, n4w);
+    if (useStep16)
+      len = std::max(4, len);
+    else if (std::abs(deltaRow) > 1)
+      len = std::max(2, len);
+    int weight = 2;
+    if (bw4_ >= 2 && bw4_ <= n4w) {
+      int inc = std::min(-maxRowOffset + deltaRow + 1,
+                         (int)kBlockHeight4[cand]);
+      weight = std::max(weight, inc);
+      *processedRows = inc - deltaRow - 1;
+    }
+    add_ref_mv_candidate(mvRow, mvCol, isCompound, len * weight);
     i += len;
   }
 }
 
-void TileDecoder::scan_col(int deltaCol, bool isCompound) {
+void TileDecoder::scan_col(int deltaCol, bool isCompound, int maxColOffset,
+                           int* processedCols) {
   int deltaRow = 0;
   int end4 = std::min(std::min(bh4_, mi_rows_ - mi_row_), 16);
   bool useStep16 = bh4_ >= 16;
   if (std::abs(deltaCol) > 1) {
-    deltaRow = 1 - (mi_row_ & 1);
-    deltaCol += mi_col_ & 1;
+    deltaRow = 1;
+    if ((mi_row_ & 1) && bh4_ < 2) deltaRow--;
   }
   int i = 0;
   while (i < end4) {
     int mvRow = mi_row_ + deltaRow + i;
     int mvCol = mi_col_ + deltaCol;
     if (!is_inside(mvRow, mvCol)) break;
-    int len = std::min(2, (int)kBlockHeight4[plans_->at(MI_BSIZE, mvRow,
-                                                        mvCol)]);
-    if (std::abs(deltaCol) > 1) len = std::max(2, len);
-    if (useStep16) len = std::max(4, len);
-    add_ref_mv_candidate(mvRow, mvCol, isCompound, len * 2);
+    int cand = plans_->at(MI_BSIZE, mvRow, mvCol);
+    int n4h = kBlockHeight4[cand];
+    int len = std::min(bh4_, n4h);
+    if (useStep16)
+      len = std::max(4, len);
+    else if (std::abs(deltaCol) > 1)
+      len = std::max(2, len);
+    int weight = 2;
+    if (bh4_ >= 2 && bh4_ <= n4h) {
+      int inc = std::min(-maxColOffset + deltaCol + 1,
+                         (int)kBlockWidth4[cand]);
+      weight = std::max(weight, inc);
+      *processedCols = inc - deltaCol - 1;
+    }
+    add_ref_mv_candidate(mvRow, mvCol, isCompound, len * weight);
     i += len;
   }
 }
@@ -839,11 +863,28 @@ void TileDecoder::find_mv_stack(bool isCompound) {
   setup_global_mv(0, global_mvs_[0]);
   if (isCompound) setup_global_mv(1, global_mvs_[1]);
 
+  // row/col scan offsets & clamps [SPEC §7.10.2 / libaom setup_ref_mv_list]
+  int rowAdj = (bh4_ < 2 && (mi_row_ & 1)) ? 1 : 0;
+  int colAdj = (bw4_ < 2 && (mi_col_ & 1)) ? 1 : 0;
+  int maxRowOffset = 0;
+  if (mi_row_ > mi_row_start_) {
+    maxRowOffset = (bh4_ < 2 ? -4 : -6) + rowAdj;
+    maxRowOffset = std::max(maxRowOffset, mi_row_start_ - mi_row_);
+  }
+  int maxColOffset = 0;
+  if (mi_col_ > mi_col_start_) {
+    maxColOffset = (bw4_ < 2 ? -4 : -6) + colAdj;
+    maxColOffset = std::max(maxColOffset, mi_col_start_ - mi_col_);
+  }
+  int processedRows = 0, processedCols = 0;
+
   found_match_ = 0;
-  scan_row(-1, isCompound);
+  if (std::abs(maxRowOffset) >= 1)
+    scan_row(-1, isCompound, maxRowOffset, &processedRows);
   int foundAboveMatch = found_match_;
   found_match_ = 0;
-  scan_col(-1, isCompound);
+  if (std::abs(maxColOffset) >= 1)
+    scan_col(-1, isCompound, maxColOffset, &processedCols);
   int foundLeftMatch = found_match_;
   found_match_ = 0;
   if (std::max(bw4_, bh4_) <= 16) {
@@ -864,21 +905,21 @@ void TileDecoder::find_mv_stack(bool isCompound) {
   scan_point(-1, -1, isCompound);
   if (found_match_) foundAboveMatch = 1;
   found_match_ = 0;
-  scan_row(-3, isCompound);
-  if (found_match_) foundAboveMatch = 1;
-  found_match_ = 0;
-  scan_col(-3, isCompound);
-  if (found_match_) foundLeftMatch = 1;
-  found_match_ = 0;
-  if (bh4_ > 1) {
-    scan_row(-5, isCompound);
-    if (found_match_) foundAboveMatch = 1;
-    found_match_ = 0;
-  }
-  if (bw4_ > 1) {
-    scan_col(-5, isCompound);
-    if (found_match_) foundLeftMatch = 1;
-    found_match_ = 0;
+  for (int idx = 2; idx <= 3; idx++) {
+    int rowOffset = -(idx << 1) + 1 + rowAdj;
+    int colOffset = -(idx << 1) + 1 + colAdj;
+    if (std::abs(rowOffset) <= std::abs(maxRowOffset) &&
+        std::abs(rowOffset) > processedRows) {
+      scan_row(rowOffset, isCompound, maxRowOffset, &processedRows);
+      if (found_match_) foundAboveMatch = 1;
+      found_match_ = 0;
+    }
+    if (std::abs(colOffset) <= std::abs(maxColOffset) &&
+        std::abs(colOffset) > processedCols) {
+      scan_col(colOffset, isCompound, maxColOffset, &processedCols);
+      if (found_match_) foundLeftMatch = 1;
+      found_match_ = 0;
+    }
   }
   total_matches_ = foundAboveMatch + foundLeftMatch;
 

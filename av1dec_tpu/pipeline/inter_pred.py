@@ -188,19 +188,43 @@ class InterPredictor:
             frame = r._alloc[plane]
 
             if cells is not None:
-                # per-mi 2x2/2x4/4x2 cells with each mi's own parameters
-                for (mr, mc) in cells:
-                    cx = (mc * 4) >> ssx
-                    cy = (mr * 4) >> ssy
-                    cw, ch = 4 >> ssx, 4 >> ssy
-                    cmv = (g("mv0y", mr, mc), g("mv0x", mr, mc))
-                    cref = g("ref0", mr, mc)
-                    cinterp = g("interp", mr, mc)
-                    cbc = bool(g("intrabc", mr, mc))
-                    pred = self._pred_one(plane, cx, cy, cw, ch, cmv[0],
-                                          cmv[1], cref, cinterp, False,
-                                          False, None, None, cbc)
-                    frame[cy: cy + ch, cx: cx + cw] = pred
+                # sub-8x8 chroma: predict in predW x predH pieces (the
+                # block's plane dims), each from the covering mi's own
+                # mv/ref/filter [SPEC §7.11.1 predict_inter loop] -- piece
+                # dims (not 2x2 cells) drive the 4-tap/8-tap filter choice
+                pred_w = (bw4 * 4) >> ssx
+                pred_h = (bh4 * 4) >> ssy
+                for yy in range(0, ph, pred_h):
+                    for xx in range(0, pw, pred_w):
+                        mr = row0 + ((yy << ssy) >> 2)
+                        mc = col0 + ((xx << ssx) >> 2)
+                        cmv = (g("mv0y", mr, mc), g("mv0x", mr, mc))
+                        cref = g("ref0", mr, mc)
+                        cref1 = g("ref1", mr, mc)
+                        cinterp = g("interp", mr, mc)
+                        cbc = bool(g("intrabc", mr, mc))
+                        cx, cy = px0 + xx, py0 + yy
+                        if cref1 > INTRA_FRAME:
+                            q0 = self._pred_one(plane, cx, cy, pred_w,
+                                                pred_h,
+                                                cmv[0], cmv[1], cref,
+                                                cinterp, True, False,
+                                                None, None, False)
+                            q1 = self._pred_one(plane, cx, cy, pred_w,
+                                                pred_h,
+                                                g("mv1y", mr, mc),
+                                                g("mv1x", mr, mc), cref1,
+                                                cinterp, True, False,
+                                                None, None, False)
+                            pred = self._compound_blend(
+                                q0, q1, g("compound_type", mr, mc), 0,
+                                cref, cref1, bw4, bh4, ssx, ssy)
+                        else:
+                            pred = self._pred_one(plane, cx, cy, pred_w,
+                                                  pred_h, cmv[0], cmv[1],
+                                                  cref, cinterp, False,
+                                                  False, None, None, cbc)
+                        frame[cy: cy + pred_h, cx: cx + pred_w] = pred
                 continue
 
             # warp applies only when the PLANE region is >= 8x8

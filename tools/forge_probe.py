@@ -27,8 +27,8 @@ from msac_encode import MsacEncoder  # noqa: E402
 class ForgingDecoder(pymodel_inter.InterDecoder):
     """Decodes real bits for SBs < cut, forges all-intra-DC-skip after."""
 
-    def __init__(self, seq, hdr, tile, cut_sb, cut_block=None):
-        super().__init__(seq, hdr, tile)
+    def __init__(self, seq, hdr, tile, cut_sb, cut_block=None, cdfs=None):
+        super().__init__(seq, hdr, tile, cdfs=cdfs)
         self.cut_sb = cut_sb
         self.cut_block = cut_block  # global decode_block counter cut
         self._blk_i = 0
@@ -234,12 +234,43 @@ def rebuild_tu(tu, hdr_bytes, new_tile):
     return out
 
 
+def chained_cdfs(path, frame_idx, seq, hdrs):
+    """CDF state for frame_idx per its primary ref (replaying saves);
+    returns None when PRIMARY_REF_NONE."""
+    import pymodel
+    hdr = hdrs[frame_idx]
+    if hdr["frame_is_intra"] or hdr["primary_ref_frame"] == 7:
+        return None
+    # replay: decode every frame, track slot -> saved cdfs
+    slots = {}
+    for fi in range(frame_idx):
+        h = hdrs[fi]
+        t = trace_diff_inter.tile_bytes_of_frame(path, fi,
+                                                 h["tile_sizes"][0])
+        if h["frame_is_intra"]:
+            d = pymodel.MiniDecoder(seq, h, t)
+        else:
+            load = None
+            if h["primary_ref_frame"] != 7:
+                load = slots.get(h["ref_frame_idx"][h["primary_ref_frame"]])
+            d = pymodel_inter.InterDecoder(seq, h, t, cdfs=load)
+        d.decode_tile()
+        if not h.get("disable_frame_end_update_cdf"):
+            saved = pymodel.save_cdfs(d)
+        else:
+            saved = load
+        for i in range(8):
+            if (h["refresh_frame_flags"] >> i) & 1:
+                slots[i] = saved
+    return slots.get(hdr["ref_frame_idx"][hdr["primary_ref_frame"]])
+
+
 def probe(path, frame_idx, cut_sb, seq, hdrs, frames, oracle_refs,
-          cut_block=None):
+          cut_block=None, cdfs=None):
     hdr = hdrs[frame_idx]
     tile = trace_diff_inter.tile_bytes_of_frame(path, frame_idx,
                                                 hdr["tile_sizes"][0])
-    dec = ForgingDecoder(seq, hdr, tile, cut_sb, cut_block)
+    dec = ForgingDecoder(seq, hdr, tile, cut_sb, cut_block, cdfs=cdfs)
     dec.decode_tile()
     enc = MsacEncoder()
     for rec in dec.r.record:
@@ -318,17 +349,19 @@ def main():
         refs[rf] = {"planes": pl, "width": pl[0].shape[1],
                     "height": pl[0].shape[0]}
     n_sbs = ((hdr["mi_rows"] + 15) // 16) * ((hdr["mi_cols"] + 15) // 16)
+    cdfs = chained_cdfs(path, frame_idx, seq, hdrs)
     if len(sys.argv) > 3 and sys.argv[3] == "--blocks":
         lo, hi = int(sys.argv[4]), int(sys.argv[5])
         for cut in range(lo, hi):
             bad, err = probe(path, frame_idx, 10**9, seq, hdrs, frames,
-                             refs, cut_block=cut)
+                             refs, cut_block=cut, cdfs=cdfs)
             print(f"cut at block {cut}: "
                   + (f"mismatches {bad}" if err is None else err),
                   flush=True)
         return
     for cut in range(n_sbs + 1):
-        bad, err = probe(path, frame_idx, cut, seq, hdrs, frames, refs)
+        bad, err = probe(path, frame_idx, cut, seq, hdrs, frames, refs,
+                         cdfs=cdfs)
         print(f"cut at SB {cut}: "
               + (f"mismatches {bad}" if err is None else err), flush=True)
 

@@ -228,10 +228,51 @@ def _inverse_recenter(r, v):
     return r + (v >> 1)
 
 
+def save_cdfs(dec):
+    """Frame-end CDF snapshot: deep copy with adaptation counters reset
+    (counter = slot right after the first zero/terminal in each row)
+    [SPEC §7.20 / libaom av1_reset_cdf_symbol_counters]."""
+    out = {}
+    for k, v in dec.cdf.items():
+        a = np.array(v, copy=True)
+        rows = a.reshape(-1, a.shape[-1])
+        for r in range(rows.shape[0]):
+            row = rows[r]
+            for i in range(len(row) - 1):
+                if row[i] == 0:
+                    row[i + 1] = 0
+                    break
+        out[k] = a
+    if hasattr(dec, "nmv"):
+        out["__nmv__"] = []
+        for comp in dec.nmv:
+            cc = {}
+            for k, v in comp.items():
+                a = np.array(v, copy=True)
+                rows = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
+                for r in range(rows.shape[0]):
+                    row = rows[r]
+                    for i in range(len(row) - 1):
+                        if row[i] == 0:
+                            row[i + 1] = 0
+                            break
+            cc = {k: np.array(v, copy=True) for k, v in comp.items()}
+            for k, a in cc.items():
+                rows = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
+                for r in range(rows.shape[0]):
+                    row = rows[r]
+                    for i in range(len(row) - 1):
+                        if row[i] == 0:
+                            row[i + 1] = 0
+                            break
+            out["__nmv__"].append(cc)
+    return out
+
+
 class MiniDecoder:
     """Intra-frame spec-model decoder over one tile."""
 
-    def __init__(self, seq, hdr, tile_bytes):
+    def __init__(self, seq, hdr, tile_bytes, cdfs=None):
         self.seq = seq
         self.hdr = hdr
         self.mi_rows = hdr["mi_rows"]
@@ -239,14 +280,19 @@ class MiniDecoder:
         self.sub_x = seq["subsampling_x"]
         self.sub_y = seq["subsampling_y"]
         self.r = Msac(tile_bytes, not hdr["disable_cdf_update"])
-        self.cdf = {k: v.copy() for k, v in T.items()}
-        # coefficient tables: select quantizer context [SPEC §7.20]
-        q = hdr["quant"]["base_q_idx"]
-        qc = 0 if q <= 20 else 1 if q <= 60 else 2 if q <= 120 else 3
-        for k in ("TxbSkip", "EobExtra", "DcSign", "CoeffBaseEob",
-                  "CoeffBase", "CoeffBr", "EobPt16", "EobPt32", "EobPt64",
-                  "EobPt128", "EobPt256", "EobPt512", "EobPt1024"):
-            self.cdf[k] = T[k][qc].copy()
+        if cdfs is not None:
+            self.cdf = {k: v.copy() for k, v in cdfs.items()
+                        if not k.startswith("__")}
+        else:
+            self.cdf = {k: v.copy() for k, v in T.items()}
+            # coefficient tables: select quantizer context [SPEC §7.20]
+            q = hdr["quant"]["base_q_idx"]
+            qc = 0 if q <= 20 else 1 if q <= 60 else 2 if q <= 120 else 3
+            for k in ("TxbSkip", "EobExtra", "DcSign", "CoeffBaseEob",
+                      "CoeffBase", "CoeffBr", "EobPt16", "EobPt32",
+                      "EobPt64", "EobPt128", "EobPt256", "EobPt512",
+                      "EobPt1024"):
+                self.cdf[k] = T[k][qc].copy()
         # neighbor state
         self.above_part = np.zeros(self.mi_cols + 32, dtype=np.int64)
         self.left_part = np.zeros(self.mi_rows + 32, dtype=np.int64)

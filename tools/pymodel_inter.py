@@ -86,13 +86,18 @@ def round2signed(v, n):
 class InterDecoder(MiniDecoder):
     """Spec-model decoder over one tile of an inter frame."""
 
-    def __init__(self, seq, hdr, tile_bytes, mctx=None):
-        super().__init__(seq, hdr, tile_bytes)
+    def __init__(self, seq, hdr, tile_bytes, mctx=None, cdfs=None):
+        super().__init__(seq, hdr, tile_bytes, cdfs=cdfs)
         self.mctx = mctx  # motion-field / tpl context (or None)
         # per-component NMV cdfs (adaptation is independent per comp)
         mvnames = ("MvClasses", "MvClass0Fp", "MvFp", "MvSign",
                    "MvClass0Hp", "MvHp", "MvClass0", "MvBits")
-        self.nmv = [{k: T[k].copy() for k in mvnames} for _ in range(2)]
+        if cdfs is not None and "__nmv__" in cdfs:
+            self.nmv = [{k: v.copy() for k, v in comp.items()}
+                        for comp in cdfs["__nmv__"]]
+        else:
+            self.nmv = [{k: T[k].copy() for k in mvnames}
+                        for _ in range(2)]
         g = hdr.get("gm") or {}
         self.gm_type = list(g.get("type", [0] * 8))
         self.gm_params = np.asarray(
@@ -588,46 +593,66 @@ class InterDecoder(MiniDecoder):
                     int(self.ref1g[mv_r, mv_c]) == self.ref_frame[1]:
                 self.compound_search_stack(mv_r, mv_c, weight)
 
-    def scan_row(self, delta_row, is_compound):
-        delta_col = 0
+    def scan_row(self, delta_row, is_compound, max_row_offset, processed):
+        # mirrors libaom scan_row_mbmi: len = min(curW, candW),
+        # weight = max(2, inc) with processed-rows bookkeeping
         end4 = min(min(self.bw4, self.mi_cols - self.c0), 16)
         use_step16 = self.bw4 >= 16
+        delta_col = 0
         if abs(delta_row) > 1:
-            delta_row += self.r0 & 1
-            delta_col = 1 - (self.c0 & 1)
+            delta_col = 1
+            if (self.c0 & 1) and self.bw4 < 2:
+                delta_col -= 1
         i = 0
         while i < end4:
             mv_r = self.r0 + delta_row
             mv_c = self.c0 + delta_col + i
             if not self.is_inside(mv_r, mv_c):
                 break
-            length = min(2, BW4[int(self.bsizeg[mv_r, mv_c])])
-            if abs(delta_row) > 1:
-                length = max(2, length)
+            cand = int(self.bsizeg[mv_r, mv_c])
+            n4_w = BW4[cand]
+            length = min(self.bw4, n4_w)
             if use_step16:
                 length = max(4, length)
-            self.add_ref_mv_candidate(mv_r, mv_c, is_compound, length * 2)
+            elif abs(delta_row) > 1:
+                length = max(2, length)
+            weight = 2
+            if 2 <= self.bw4 <= n4_w:
+                inc = min(-max_row_offset + delta_row + 1, BH4[cand])
+                weight = max(weight, inc)
+                processed[0] = inc - delta_row - 1
+            self.add_ref_mv_candidate(mv_r, mv_c, is_compound,
+                                      length * weight)
             i += length
 
-    def scan_col(self, delta_col, is_compound):
-        delta_row = 0
+    def scan_col(self, delta_col, is_compound, max_col_offset, processed):
         end4 = min(min(self.bh4, self.mi_rows - self.r0), 16)
         use_step16 = self.bh4 >= 16
+        delta_row = 0
         if abs(delta_col) > 1:
-            delta_row = 1 - (self.r0 & 1)
-            delta_col += self.c0 & 1
+            delta_row = 1
+            if (self.r0 & 1) and self.bh4 < 2:
+                delta_row -= 1
         i = 0
         while i < end4:
             mv_r = self.r0 + delta_row + i
             mv_c = self.c0 + delta_col
             if not self.is_inside(mv_r, mv_c):
                 break
-            length = min(2, BH4[int(self.bsizeg[mv_r, mv_c])])
-            if abs(delta_col) > 1:
-                length = max(2, length)
+            cand = int(self.bsizeg[mv_r, mv_c])
+            n4_h = BH4[cand]
+            length = min(self.bh4, n4_h)
             if use_step16:
                 length = max(4, length)
-            self.add_ref_mv_candidate(mv_r, mv_c, is_compound, length * 2)
+            elif abs(delta_col) > 1:
+                length = max(2, length)
+            weight = 2
+            if 2 <= self.bh4 <= n4_h:
+                inc = min(-max_col_offset + delta_col + 1, BW4[cand])
+                weight = max(weight, inc)
+                processed[0] = inc - delta_col - 1
+            self.add_ref_mv_candidate(mv_r, mv_c, is_compound,
+                                      length * weight)
             i += length
 
     def scan_point(self, delta_row, delta_col, is_compound):
@@ -645,11 +670,25 @@ class InterDecoder(MiniDecoder):
         self.global_mvs = [self.setup_global_mv(0), [0, 0]]
         if is_compound:
             self.global_mvs[1] = self.setup_global_mv(1)
+        # offsets & weights per libaom setup_ref_mv_list
+        row_adj = 1 if (self.bh4 < 2 and (self.r0 & 1)) else 0
+        col_adj = 1 if (self.bw4 < 2 and (self.c0 & 1)) else 0
+        max_row_offset = 0
+        if self.avail_u:
+            max_row_offset = (-4 if self.bh4 < 2 else -6) + row_adj
+            max_row_offset = max(max_row_offset, -self.r0)
+        max_col_offset = 0
+        if self.avail_l:
+            max_col_offset = (-4 if self.bw4 < 2 else -6) + col_adj
+            max_col_offset = max(max_col_offset, -self.c0)
+        proc_rows, proc_cols = [0], [0]
         self.found_match = 0
-        self.scan_row(-1, is_compound)
+        if abs(max_row_offset) >= 1:
+            self.scan_row(-1, is_compound, max_row_offset, proc_rows)
         found_above = self.found_match
         self.found_match = 0
-        self.scan_col(-1, is_compound)
+        if abs(max_col_offset) >= 1:
+            self.scan_col(-1, is_compound, max_col_offset, proc_cols)
         found_left = self.found_match
         self.found_match = 0
         if max(self.bw4, self.bh4) <= 16:
@@ -671,24 +710,23 @@ class InterDecoder(MiniDecoder):
         if self.found_match:
             found_above = 1
         self.found_match = 0
-        self.scan_row(-3, is_compound)
-        if self.found_match:
-            found_above = 1
-        self.found_match = 0
-        self.scan_col(-3, is_compound)
-        if self.found_match:
-            found_left = 1
-        self.found_match = 0
-        if self.bh4 > 1:
-            self.scan_row(-5, is_compound)
-            if self.found_match:
-                found_above = 1
-            self.found_match = 0
-        if self.bw4 > 1:
-            self.scan_col(-5, is_compound)
-            if self.found_match:
-                found_left = 1
-            self.found_match = 0
+        for idx in (2, 3):
+            row_offset = -(idx << 1) + 1 + row_adj
+            col_offset = -(idx << 1) + 1 + col_adj
+            if abs(row_offset) <= abs(max_row_offset) and \
+                    abs(row_offset) > proc_rows[0]:
+                self.scan_row(row_offset, is_compound, max_row_offset,
+                              proc_rows)
+                if self.found_match:
+                    found_above = 1
+                self.found_match = 0
+            if abs(col_offset) <= abs(max_col_offset) and \
+                    abs(col_offset) > proc_cols[0]:
+                self.scan_col(col_offset, is_compound, max_col_offset,
+                              proc_cols)
+                if self.found_match:
+                    found_left = 1
+                self.found_match = 0
         total_matches = found_above + found_left
         self._sort(0, num_nearest)
         self._sort(num_nearest, self.num_mv_found)
@@ -1158,9 +1196,10 @@ class InterDecoder(MiniDecoder):
             if st == 0 or hdr["coded_lossless"]:
                 return 0
             # chroma copies the co-located luma tx type [SPEC §8.3.2]:
-            # luma 4x4 coords = chroma 4x4 coords << subsampling
-            r_l = self._cur_sy0 << self.sub_y
-            c_l = self._cur_sx0 << self.sub_x
+            # luma coords = chroma coords << subsampling, clamped to the
+            # block origin (sub-8x8 chroma pairs sit above/left of it)
+            r_l = max(self.r0, self._cur_sy0 << self.sub_y)
+            c_l = max(self.c0, self._cur_sx0 << self.sub_x)
             t = int(self.txtypeg[min(r_l, self.mi_rows - 1),
                                  min(c_l, self.mi_cols - 1)])
             if t not in EXT_TX_INV[st]:
