@@ -366,9 +366,18 @@ class InterPredictor:
         ref = g("ref0", nr, nc)
         interp = g("interp", nr, nc)
         w, h = cover_w, cover_h
+        blk_w4 = int(BLOCK_W4[g("bsize", by, bx)])
+        blk_h4 = int(BLOCK_H4[g("bsize", by, bx)])
         for plane in range(r.num_planes):
             ssx = r.sub_x if plane else 0
             ssy = r.sub_y if plane else 0
+            if plane:
+                # skip small chroma plane blocks in the above pass
+                # [libaom av1_skip_u4x4_pred_in_obmc]
+                pbw = (blk_w4 * 4) >> ssx
+                pbh = (blk_h4 * 4) >> ssy
+                if above and (pbw, pbh) in ((4, 4), (4, 8), (8, 4)):
+                    continue
             if above:
                 overlap = (min(h, 64) >> 1) >> ssy
                 px = ((bx * 4) + rel4 * 4) >> ssx
