@@ -110,7 +110,7 @@ def intra_edge_filter(buf, sz, strength):
         buf[i] = (s + 8) >> 4
 
 
-def intra_edge_upsample(buf, sz):
+def intra_edge_upsample(buf, sz, bd):
     """Returns 2x upsampled edge as new array indexed from -2
     [SPEC §7.11.2.11 / libaom av1_upsample_intra_edge].
     buf is indexed buf[-1..sz-1] via offset array; we take (sz+1,) array
@@ -125,7 +125,7 @@ def intra_edge_upsample(buf, sz):
     out[0] = inb[0]  # p[-2]
     for i in range(sz):
         s = -inb[i] + 9 * inb[i + 1] + 9 * inb[i + 2] - inb[i + 3]
-        s = np.clip((s + 8) >> 4, 0, None)
+        s = np.clip((s + 8) >> 4, 0, (1 << bd) - 1)
         out[2 * i + 1] = s        # p[2i - 1]
         out[2 * i + 2] = inb[i + 2]  # p[2i]
     return out
@@ -178,9 +178,17 @@ def predict_intra(frame, plane_dims, x, y, w, h, mode, angle_delta,
         return _filter_intra(above, left, w, h, filter_intra_mode, bd)
     if mode >= V_PRED and mode <= D67_PRED:
         p_angle = MODE_TO_ANGLE[mode] + angle_delta * ANGLE_STEP
+        # real (non-replicated) extension pixel counts; edge filtering
+        # and upsampling cover the h/w extension ONLY when some real
+        # top-right / bottom-left pixels exist [libaom
+        # build_intra_predictors n_topright_px / n_bottomleft_px]
+        n_tr = max(0, min(w, max_x - (x + w) + 1)) \
+            if (have_above and have_above_right) else 0
+        n_bl = max(0, min(h, max_y - (y + h) + 1)) \
+            if (have_left and have_below_left) else 0
         return _directional(above, left, w, h, p_angle, have_above,
                             have_left, bd, filter_type, enable_edge_filter,
-                            max_x, max_y, x, y, frame)
+                            max_x, max_y, x, y, frame, n_tr, n_bl)
     if mode in (SMOOTH_PRED, SMOOTH_V_PRED, SMOOTH_H_PRED):
         return _smooth(above, left, w, h, mode)
     if mode == PAETH_PRED:
@@ -257,7 +265,7 @@ def _filter_intra(above, left, w, h, fi_mode, bd):
 
 def _directional(above, left, w, h, p_angle, have_above, have_left, bd,
                  filter_type, enable_edge_filter, max_x, max_y, x, y,
-                 frame):
+                 frame, n_tr=0, n_bl=0):
     upsample_above = 0
     upsample_left = 0
     if enable_edge_filter and p_angle != 90 and p_angle != 180:
@@ -282,20 +290,25 @@ def _directional(above, left, w, h, p_angle, have_above, have_left, bd,
         upsample_left = use_intra_edge_upsample(w, h, filter_type,
                                                 p_angle - 180)
     if upsample_above:
-        num_px = w + (h if p_angle < 90 else 0)
-        above_u = intra_edge_upsample(above, num_px)
+        num_px_a = w + (h if p_angle < 90 else 0)
+        above_u = intra_edge_upsample(above, num_px_a, bd)
     if upsample_left:
-        num_px = h + (w if p_angle > 180 else 0)
-        left_u = intra_edge_upsample(left, num_px)
+        num_px_l = h + (w if p_angle > 180 else 0)
+        left_u = intra_edge_upsample(left, num_px_l, bd)
 
     def abv(idx):
         # AboveRow[idx] in spec indexing (idx may be -1 or -2 upsampled)
         if upsample_above:
+            if idx + 2 >= len(above_u):
+                # beyond the upsampled region: the raw replicated tail
+                return above[min(len(above) - 1, num_px_a + 1)]
             return above_u[idx + 2]
         return above[idx + 1]
 
     def lft(idx):
         if upsample_left:
+            if idx + 2 >= len(left_u):
+                return left[min(len(left) - 1, num_px_l + 1)]
             return left_u[idx + 2]
         return left[idx + 1]
 

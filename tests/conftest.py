@@ -15,12 +15,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# The sandbox's sitecustomize force-registers a TPU platform plugin that
-# wins default-backend selection regardless of JAX_PLATFORMS; pin the
-# default to CPU so unit tests never compile over the device tunnel.
+# The sandbox's sitecustomize force-registers a remote TPU ("axon") PJRT
+# plugin whose INITIALIZATION dials a tunnel that can block for minutes
+# (even under JAX_PLATFORMS=cpu).  Registration is cheap and lazy, so
+# deregister the factory before any backend is initialized; unit tests
+# then run purely on the CPU backend.
 try:
     import jax
+    from jax._src import xla_bridge as _xb
 
+    _xb._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_platform_name", "cpu")
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:
