@@ -1,0 +1,119 @@
+"""av1dec_tpu command-line decoder.
+
+Usage:
+    python -m av1dec_tpu <input.ivf> [-o out.yuv | --y4m out.y4m]
+                         [--md5] [--frame-md5] [--limit N] [--summary]
+
+Mirrors the reference decoder CLI surface (aomdec): raw/Y4M output,
+MD5 checksums of the output planes, frame limits, and a decode-rate
+summary.
+"""
+import argparse
+import hashlib
+import sys
+import time
+
+import numpy as np
+
+
+def _plane_bytes(frame):
+    """Output planes as raw bytes (8-bit: u8; >8-bit: little-endian u16)."""
+    bd = frame.bit_depth
+    out = b""
+    for p in frame.planes:
+        a = np.asarray(p)
+        if bd > 8:
+            out += a.astype("<u2").tobytes()
+        else:
+            out += a.astype(np.uint8).tobytes()
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="python -m av1dec_tpu",
+        description="TPU-native AV1 decoder")
+    ap.add_argument("input", help="input IVF file")
+    ap.add_argument("-o", "--output", help="raw YUV output file")
+    ap.add_argument("--y4m", help="Y4M output file")
+    ap.add_argument("--md5", action="store_true",
+                    help="print MD5 over all output frames")
+    ap.add_argument("--frame-md5", action="store_true",
+                    help="print per-frame MD5 checksums")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="decode at most N frames")
+    ap.add_argument("--summary", action="store_true",
+                    help="print decode-rate summary")
+    args = ap.parse_args(argv)
+
+    from av1dec_tpu.api import Decoder
+
+    t0 = time.monotonic()
+    n = 0
+    total_md5 = hashlib.md5()
+    out_f = open(args.output, "wb") if args.output else None
+    y4m_f = open(args.y4m, "wb") if args.y4m else None
+
+    dec = Decoder()
+    try:
+        import struct
+
+        with open(args.input, "rb") as f:
+            hdr = f.read(32)
+            if len(hdr) < 32 or hdr[:4] != b"DKIF":
+                print("error: not an IVF file", file=sys.stderr)
+                return 1
+            while True:
+                fh = f.read(12)
+                if len(fh) < 12:
+                    break
+                size, pts = struct.unpack("<IQ", fh)
+                tu = f.read(size)
+                if len(tu) < size:
+                    break
+                for frame in dec.decode(tu):
+                    raw = _plane_bytes(frame)
+                    if args.frame_md5:
+                        print(f"frame {n}: "
+                              f"{hashlib.md5(raw).hexdigest()}")
+                    if args.md5:
+                        total_md5.update(raw)
+                    if out_f:
+                        out_f.write(raw)
+                    if y4m_f:
+                        if n == 0:
+                            h, w = np.asarray(frame.planes[0]).shape
+                            cs = {(1, 1): "420jpeg", (1, 0): "422",
+                                  (0, 0): "444"}[frame.subsampling]
+                            if len(frame.planes) == 1:
+                                cs = "mono"
+                            if frame.bit_depth > 8:
+                                cs += f"p{frame.bit_depth}"
+                            y4m_f.write(
+                                f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 "
+                                f"C{cs}\n".encode())
+                        y4m_f.write(b"FRAME\n")
+                        y4m_f.write(raw)
+                    n += 1
+                    if args.limit and n >= args.limit:
+                        break
+                if args.limit and n >= args.limit:
+                    break
+    finally:
+        dec.close()
+        if out_f:
+            out_f.close()
+        if y4m_f:
+            y4m_f.close()
+
+    dt = time.monotonic() - t0
+    if args.md5:
+        print(total_md5.hexdigest())
+    if args.summary:
+        print(f"{n} frames in {dt:.3f}s ({n / dt:.2f} fps)",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
