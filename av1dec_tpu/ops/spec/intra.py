@@ -153,16 +153,20 @@ def predict_intra(frame, plane_dims, x, y, w, h, mode, angle_delta,
         above[1:] = (1 << (bd - 1)) - 1
     else:
         above_limit = min(max_x, x + (2 * w if have_above_right else w) - 1)
-        for i in range(size):
-            above[1 + i] = frame[y - 1, min(above_limit, x + i)]
+        n_direct = max(0, min(size, above_limit - x + 1))
+        above[1: 1 + n_direct] = frame[y - 1, x: x + n_direct]
+        if n_direct < size:
+            above[1 + n_direct:] = frame[y - 1, above_limit]
     if not have_left and have_above:
         left[1:] = frame[y - 1, x]
     elif not have_left and not have_above:
         left[1:] = (1 << (bd - 1)) + 1
     else:
         left_limit = min(max_y, y + (2 * h if have_below_left else h) - 1)
-        for i in range(size):
-            left[1 + i] = frame[min(left_limit, y + i), x - 1]
+        n_direct = max(0, min(size, left_limit - y + 1))
+        left[1: 1 + n_direct] = frame[y: y + n_direct, x - 1]
+        if n_direct < size:
+            left[1 + n_direct:] = frame[left_limit, x - 1]
     if have_above and have_left:
         corner = frame[y - 1, x - 1]
     elif have_above:
@@ -243,24 +247,50 @@ def _smooth(above, left, w, h, mode):
     return round2(sm, 8)
 
 
+_FI_TAPS_LISTS = None
+
+
 def _filter_intra(above, left, w, h, fi_mode, bd):
-    # [SPEC §7.11.2.3]: recursive 4x2 patches
-    taps = FILTER_INTRA_TAPS[fi_mode]
-    buf = np.zeros((h + 1, w + 1), dtype=np.int64)
-    buf[0, 1:] = above[1: 1 + w]
-    buf[1:, 0] = left[1: 1 + h]
-    buf[0, 0] = above[0]
+    # [SPEC §7.11.2.3]: recursive 4x2 patches.  Pure-Python integer
+    # inner loop (the patch recursion is inherently serial; numpy scalar
+    # ops here would be ~50x slower per patch).
+    global _FI_TAPS_LISTS
+    if _FI_TAPS_LISTS is None:
+        _FI_TAPS_LISTS = [[[int(t) for t in row] for row in mode_taps]
+                          for mode_taps in FILTER_INTRA_TAPS]
+    taps = _FI_TAPS_LISTS[fi_mode]
+    hi = (1 << bd) - 1
+    # buf as plain Python lists of ints
+    buf = [[0] * (w + 1) for _ in range(h + 1)]
+    arow = above[0: 1 + w].tolist()
+    buf[0][:] = arow
+    lcol = left[1: 1 + h].tolist()
+    for r in range(h):
+        buf[r + 1][0] = lcol[r]
     for i in range(1, h + 1, 2):
+        bm1 = buf[i - 1]
+        b0 = buf[i]
+        b1 = buf[i + 1]
         for j in range(1, w + 1, 4):
-            p = [buf[i - 1, j - 1], buf[i - 1, j], buf[i - 1, j + 1],
-                 buf[i - 1, j + 2], buf[i - 1, j + 3], buf[i, j - 1],
-                 buf[i + 1, j - 1]]
+            p0 = bm1[j - 1]
+            p1 = bm1[j]
+            p2 = bm1[j + 1]
+            p3 = bm1[j + 2]
+            p4 = bm1[j + 3]
+            p5 = b0[j - 1]
+            p6 = b1[j - 1]
             for k in range(8):
-                r, cc = k // 4, k % 4
-                s = sum(int(taps[k][m]) * int(p[m]) for m in range(7))
-                v = int(round2_signed(np.int64(s), 4))
-                buf[i + r, j + cc] = int(clip1(np.int64(v), bd))
-    return buf[1:, 1:]
+                t = taps[k]
+                s = (t[0] * p0 + t[1] * p1 + t[2] * p2 + t[3] * p3 +
+                     t[4] * p4 + t[5] * p5 + t[6] * p6)
+                v = (s + 8) >> 4 if s >= 0 else -((-s + 8) >> 4)
+                if v < 0:
+                    v = 0
+                elif v > hi:
+                    v = hi
+                (b0 if k < 4 else b1)[j + (k & 3)] = v
+    out = np.asarray([row[1:] for row in buf[1:]], dtype=np.int64)
+    return out
 
 
 def _directional(above, left, w, h, p_angle, have_above, have_left, bd,
