@@ -37,3 +37,26 @@ def test_wavefront_matches_serial(path, native_lib):
                 assert (np.asarray(a) == np.asarray(b)).all()
             checked += 1
     assert checked > 0
+
+
+@pytest.mark.parametrize("path", _streams()[:6],
+                         ids=lambda p: p.split("/")[-1].replace(".ivf", ""))
+def test_device_wavefront_matches_serial(path, native_lib):
+    """Device (jitted scan) executor == serial spec model, CPU backend."""
+    from av1dec_tpu.pipeline.device_recon import DeviceRecon
+    p = NativeParser()
+    checked = 0
+    for _, d in aomffi.read_ivf(path):
+        for hdr, plans in p.parse_tu(d, with_plans=True):
+            if plans is None:
+                continue
+            dr = DeviceRecon(p.seq, hdr, plans)
+            if not dr.supported():
+                continue
+            ref = FrameRecon(p.seq, hdr, plans).run()
+            got = dr.run()
+            for a, b in zip(ref, got):
+                assert (np.asarray(a) == np.asarray(b)).all()
+            checked += 1
+    if checked == 0:
+        pytest.skip("no device-eligible frames in stream")
