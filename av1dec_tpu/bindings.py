@@ -38,6 +38,7 @@ def _load():
     lib.av1n_frame_json.restype = C.c_char_p
     lib.av1n_frame_json.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_set_decode_tiles.argtypes = [C.c_void_p, C.c_int]
+    lib.av1n_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_last_error.restype = C.c_char_p
     lib.av1n_last_error.argtypes = [C.c_void_p]
     lib.av1n_plans_shape.restype = C.c_int
@@ -120,9 +121,11 @@ def rebuild_native() -> None:
 class NativeParser:
     """Header-level parser handle over the native library."""
 
-    def __init__(self) -> None:
+    def __init__(self, threads: int = 1) -> None:
         self._lib = _load()
         self._h = self._lib.av1n_create()
+        if threads > 1:
+            self._lib.av1n_set_threads(self._h, int(threads))
 
     def parse_tu(self, data: bytes, with_plans: bool = False):
         """Parse one temporal unit; returns the completed frames' headers

@@ -20,12 +20,12 @@ namespace av1 {
 // "T <n> <nsyms> <ret> <rng> <icdf0>" for differential debugging against
 // the Python spec-model msac.
 inline bool msac_trace_enabled() {
-  static int v = -1;
-  if (v < 0) {
+  // init-once (C++11 static init is thread-safe; no later writes)
+  static const bool v = [] {
     const char* e = std::getenv("AV1N_TRACE");
-    v = (e && *e == '1') ? 1 : 0;
-  }
-  return v == 1;
+    return e && *e == '1';
+  }();
+  return v;
 }
 
 constexpr int EC_PROB_SHIFT = 6;

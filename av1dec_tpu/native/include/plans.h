@@ -97,6 +97,7 @@ struct WarpRecord {
 
 struct FramePlans {
   int mi_rows = 0, mi_cols = 0;
+  int mi_row0 = 0, mi_col0 = 0;     // grid origin (tile-local plans)
   std::vector<int16_t> mi;          // [N_MI_FIELDS][mi_rows][mi_cols]
   std::vector<int32_t> tx_records;  // [n_tx][N_TXR_FIELDS]
   std::vector<int32_t> coeffs;      // concatenated residual levels
@@ -108,11 +109,14 @@ struct FramePlans {
 
   int16_t* grid(int field) { return mi.data() + (size_t)field * mi_rows * mi_cols; }
   int16_t& at(int field, int r, int c) {
-    return mi[(size_t)field * mi_rows * mi_cols + (size_t)r * mi_cols + c];
+    return mi[(size_t)field * mi_rows * mi_cols +
+              (size_t)(r - mi_row0) * mi_cols + (c - mi_col0)];
   }
-  void init(int rows, int cols) {
+  void init(int rows, int cols, int row0 = 0, int col0 = 0) {
     mi_rows = rows;
     mi_cols = cols;
+    mi_row0 = row0;
+    mi_col0 = col0;
     mi.assign((size_t)N_MI_FIELDS * rows * cols, 0);
     tx_records.clear();
     coeffs.clear();

@@ -4,12 +4,14 @@
 // exported as JSON — it is small, cold data and JSON keeps the ABI trivial.
 // Hot data (coefficient plans, mode-info grids) is exported as packed
 // binary buffers (see plans.cc).
+#include <atomic>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <memory>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "cdf.h"
@@ -27,7 +29,44 @@ struct Handle {
   std::vector<std::shared_ptr<FramePlans>> frame_plans;  // parallel array
   std::string last_error;
   int decode_tiles = 1;  // 0 = headers only
+  int threads = 1;       // tile-parallel entropy decode [SURVEY §2.4]
 };
+
+// Merge a per-tile FramePlans into the frame-level one (tile-parallel
+// decode path).  mi-grid writes are disjoint by tile rect; the record
+// vectors concatenate in tile order, which equals the serial decode
+// order the reconstruction consumes.
+void merge_tile_plans(FramePlans* dst, const FramePlans& src, int r0, int r1,
+                      int c0, int c1) {
+  for (int f = 0; f < N_MI_FIELDS; f++)
+    for (int r = r0; r < r1; r++)
+      memcpy(dst->mi.data() + ((size_t)f * dst->mi_rows + r) * dst->mi_cols +
+                 c0,
+             src.mi.data() +
+                 ((size_t)f * src.mi_rows + (r - src.mi_row0)) * src.mi_cols +
+                 (c0 - src.mi_col0),
+             (size_t)(c1 - c0) * sizeof(int16_t));
+  const int32_t coef_base = (int32_t)dst->coeffs.size();
+  const int32_t cmap_base = (int32_t)dst->color_map.size();
+  size_t txn = src.tx_records.size() / N_TXR_FIELDS;
+  for (size_t i = 0; i < txn; i++) {
+    const int32_t* r = &src.tx_records[i * N_TXR_FIELDS];
+    int32_t rec[N_TXR_FIELDS];
+    memcpy(rec, r, sizeof(rec));
+    if (rec[TXR_COEF_OFF] >= 0) rec[TXR_COEF_OFF] += coef_base;
+    dst->tx_records.insert(dst->tx_records.end(), rec, rec + N_TXR_FIELDS);
+  }
+  dst->coeffs.insert(dst->coeffs.end(), src.coeffs.begin(), src.coeffs.end());
+  dst->palettes.insert(dst->palettes.end(), src.palettes.begin(),
+                       src.palettes.end());
+  for (int32_t off : src.color_map_off)
+    dst->color_map_off.push_back(off + cmap_base);
+  dst->color_map.insert(dst->color_map.end(), src.color_map.begin(),
+                        src.color_map.end());
+  dst->lr_units.insert(dst->lr_units.end(), src.lr_units.begin(),
+                       src.lr_units.end());
+  dst->warps.insert(dst->warps.end(), src.warps.begin(), src.warps.end());
+}
 
 void json_kv(std::ostringstream& o, const char* k, long v, bool comma = true) {
   o << '"' << k << "\":" << v;
@@ -287,19 +326,71 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
       setup_motion_context(st, &mctx);  // [SPEC §7.9, §7.21]
       td.set_motion_ctx(&mctx);
     }
-    CdfContext tile_cdf;
     CdfContext saved_cdf = *frame_cdf;  // frame-end context
-    int tile_idx = 0;
-    for (const TileGroupRange& tr : st->tiles) {
-      tile_cdf = *frame_cdf;
-      td.set_cdf(&tile_cdf);
-      if (td.decode_tile(tr.data, tr.size, tr.tile_row, tr.tile_col) < 0) {
-        h->last_error = "tile decode failed";
-        return -1;
+    const int n_tiles = (int)st->tiles.size();
+    if (h->threads > 1 && n_tiles > 1) {
+      // Tile-parallel entropy decode [SPEC §5.11 tiles are
+      // entropy-independent; SURVEY §2.4 row "tile parallelism"]:
+      // one TileDecoder + CDF clone + private FramePlans per tile,
+      // merged in tile order afterwards.
+      std::vector<FramePlans> tile_plans(n_tiles);
+      std::vector<CdfContext> tile_cdfs(n_tiles);
+      std::vector<int> rcs(n_tiles, 0);
+      std::vector<std::thread> pool;
+      std::atomic<int> cursor{0};
+      int nw = h->threads < n_tiles ? h->threads : n_tiles;
+      for (int wkr = 0; wkr < nw; wkr++) {
+        pool.emplace_back([&, wkr]() {
+          for (;;) {
+            int ti = cursor.fetch_add(1);
+            if (ti >= n_tiles) break;
+            const TileGroupRange& tr = st->tiles[ti];
+            const TileInfo& ti_info = st->hdr.tiles;
+            tile_plans[ti].init(
+                ti_info.mi_row_starts[tr.tile_row + 1] -
+                    ti_info.mi_row_starts[tr.tile_row],
+                ti_info.mi_col_starts[tr.tile_col + 1] -
+                    ti_info.mi_col_starts[tr.tile_col],
+                ti_info.mi_row_starts[tr.tile_row],
+                ti_info.mi_col_starts[tr.tile_col]);
+            tile_cdfs[ti] = *frame_cdf;
+            TileDecoder ttd(st->seq, st->hdr, &tile_cdfs[ti],
+                            &tile_plans[ti]);
+            if (!st->hdr.frame_is_intra) ttd.set_motion_ctx(&mctx);
+            rcs[ti] = ttd.decode_tile(tr.data, tr.size, tr.tile_row,
+                                      tr.tile_col);
+          }
+        });
       }
-      if (tile_idx == st->hdr.tiles.context_update_tile_id)
-        saved_cdf = tile_cdf;
-      tile_idx++;
+      for (auto& t : pool) t.join();
+      for (int ti = 0; ti < n_tiles; ti++) {
+        if (rcs[ti] < 0) {
+          h->last_error = "tile decode failed";
+          return -1;
+        }
+        const TileGroupRange& tr = st->tiles[ti];
+        const TileInfo& tinfo = st->hdr.tiles;
+        merge_tile_plans(plans.get(), tile_plans[ti],
+                         tinfo.mi_row_starts[tr.tile_row],
+                         tinfo.mi_row_starts[tr.tile_row + 1],
+                         tinfo.mi_col_starts[tr.tile_col],
+                         tinfo.mi_col_starts[tr.tile_col + 1]);
+        if (ti == tinfo.context_update_tile_id) saved_cdf = tile_cdfs[ti];
+      }
+    } else {
+      CdfContext tile_cdf;
+      int tile_idx = 0;
+      for (const TileGroupRange& tr : st->tiles) {
+        tile_cdf = *frame_cdf;
+        td.set_cdf(&tile_cdf);
+        if (td.decode_tile(tr.data, tr.size, tr.tile_row, tr.tile_col) < 0) {
+          h->last_error = "tile decode failed";
+          return -1;
+        }
+        if (tile_idx == st->hdr.tiles.context_update_tile_id)
+          saved_cdf = tile_cdf;
+        tile_idx++;
+      }
     }
     if (!st->hdr.disable_frame_end_update_cdf) {
       *frame_cdf = saved_cdf;
@@ -350,6 +441,10 @@ int av1n_version() { return 1; }
 
 void av1n_set_decode_tiles(void* hp, int v) {
   ((Handle*)hp)->decode_tiles = v;
+}
+
+void av1n_set_threads(void* hp, int v) {
+  ((Handle*)hp)->threads = v < 1 ? 1 : v;
 }
 
 const char* av1n_last_error(void* hp) {

@@ -15,12 +15,12 @@ namespace av1 {
 // Labeled syntax trace (AV1N_SYN=1): block/tx-level decode events for
 // debugging bit-exactness failures.
 static bool syn_trace() {
-  static int v = -1;
-  if (v < 0) {
+  // init-once (thread-safe static init; no later writes)
+  static const bool v = [] {
     const char* e = std::getenv("AV1N_SYN");
-    v = (e && *e == '1') ? 1 : 0;
-  }
-  return v == 1;
+    return e && *e == '1';
+  }();
+  return v;
 }
 #define SYN(...) \
   do { \

@@ -5,6 +5,8 @@ libaom encoder; field values are cross-checked against what the encoder
 was configured to produce (SURVEY.md §4, M0 exit test).
 """
 
+import os
+
 import aomffi
 import pytest
 
@@ -104,3 +106,42 @@ def test_oracle_md5_stability(stream_factory):
     f2 = aomffi.oracle_decode_ivf(path)
     assert [f.md5() for f in f1] == [f.md5() for f in f2]
     assert len(f1) == 10
+
+
+def test_tile_parallel_entropy_matches_serial(native_lib):
+    """threads=N tile decode == serial, on a multi-tile stream
+    [SURVEY §2.4 tile parallelism]."""
+    import numpy as np
+
+    import aomffi
+    from av1dec_tpu.bindings import NativeParser
+    path = "/tmp/pytest_streams/tiles.ivf"
+    ser, par = NativeParser(), NativeParser(threads=2)
+    for _, d in aomffi.read_ivf(path):
+        for (h1, p1), (h2, p2) in zip(ser.parse_tu(d, with_plans=True),
+                                      par.parse_tu(d, with_plans=True)):
+            assert (p1 is None) == (p2 is None)
+            if p1 is None:
+                continue
+            for attr in ("mi", "tx", "coeffs", "palettes", "color_map",
+                         "lr", "warps"):
+                a, b = getattr(p1, attr), getattr(p2, attr)
+                assert a.shape == b.shape
+                assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_sanitizer_builds_decode_clean(native_lib):
+    """ASan/UBSan and TSan builds decode a multi-tile stream with no
+    findings (SURVEY §5.2).  Builds are cached by make."""
+    import subprocess
+    nd = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "av1dec_tpu", "native")
+    subprocess.run(["make", "-s", "asan-check", "tsan-check"], cwd=nd,
+                   check=True)
+    for build in ("build-asan", "build-tsan"):
+        r = subprocess.run(
+            [os.path.join(nd, build, "av1dec_check"),
+             "/tmp/pytest_streams/tiles.ivf", "2"],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        assert "WARNING" not in r.stderr, r.stderr
