@@ -187,7 +187,9 @@ class DeviceRecon:
             planes.append(frame[b: b + ha * wa].reshape(ha, wa)[:vh, :vw])
         # CDEF on device (same dispatch chain, no host round trip)
         planes = self._cdef_device(jnp, planes)
-        return planes
+        # narrow for the d2h transfer (link bandwidth dominates)
+        odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
+        return [p.astype(odt) for p in planes]
 
     def _cdef_device(self, jnp, planes):
         hdr, seq, plans, bd = self.hdr, self.seq, self.plans, self.sch.bd

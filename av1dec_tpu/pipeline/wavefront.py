@@ -112,50 +112,39 @@ class Schedule:
         self.flat_len = sum(a * b for a, b in self.alloc_dims)
 
 
-def _assign_levels(plans, sub_x, sub_y, num_planes, uv_mode_grid):
-    """Per-tx-record wavefront level (ASAP schedule).
+def _level_for(g4, plane, x4, y4, w4, h4, ext_above, ext_left, cfl_dep,
+               sub_x, sub_y):
+    """ASAP wavefront level for one block.
 
-    deps: row above (incl. above-right extension), column left (incl.
-    below-left), and — for CfL chroma — the co-located luma region.
-    """
-    tx = plans.tx
-    mi_rows, mi_cols = plans.mi_rows, plans.mi_cols
-    g4 = [np.zeros((mi_rows, mi_cols), np.int32)]
-    for _ in range(num_planes - 1):
-        g4.append(np.zeros((((mi_rows * 4 >> sub_y) + 3) // 4,
-                            ((mi_cols * 4 >> sub_x) + 3) // 4), np.int32))
-    levels = np.zeros(len(tx), np.int32)
-    for i in range(len(tx)):
-        rec = tx[i]
-        plane, x4, y4, tsz = int(rec[0]), int(rec[1]), int(rec[2]), \
-            int(rec[3])
-        avail = int(rec[8])
-        w, h = (4, 4) if tsz == 19 else TX_DIMS[tsz]
-        w4, h4 = w // 4, h // 4
-        G = g4[plane]
-        dep = 0
-        if y4 > 0:
-            c0 = max(0, x4 - 1)
-            c1 = min(G.shape[1], x4 + 2 * w4 + 1)
-            dep = max(dep, int(G[y4 - 1, c0:c1].max()))
-        if x4 > 0:
-            r0 = y4
-            r1 = min(G.shape[0], y4 + 2 * h4 + 1)
-            dep = max(dep, int(G[r0:r1, x4 - 1].max()))
-        if plane > 0:
-            mi = int(rec[7])
-            mi_r, mi_c = mi // mi_cols, mi % mi_cols
-            if int(uv_mode_grid[mi_r, mi_c]) == UV_CFL_PRED:
-                # CfL reads co-located reconstructed luma
-                ly0 = (y4 << sub_y)
-                lx0 = (x4 << sub_x)
-                ly1 = min(g4[0].shape[0], ly0 + (h4 << sub_y))
-                lx1 = min(g4[0].shape[1], lx0 + (w4 << sub_x))
-                dep = max(dep, int(g4[0][ly0:ly1, lx0:lx1].max()))
-        L = dep + 1
-        levels[i] = L
-        G[y4: y4 + h4, x4: x4 + w4] = L
-    return levels
+    deps: the above row over the columns actually read (2w extension
+    only for directional p_angle < 90), the left column over the rows
+    read (2h only for p_angle > 180), and — for CfL chroma — the
+    co-located reconstructed luma region."""
+    G = g4[plane]
+    dep = 0
+    if y4 > 0:
+        c0 = max(0, x4 - 1)
+        c1 = min(G.shape[1], x4 + (2 * w4 if ext_above else w4) + 1)
+        m = G[y4 - 1, c0:c1].max()
+        if m > dep:
+            dep = int(m)
+    if x4 > 0:
+        r0 = y4
+        r1 = min(G.shape[0], y4 + (2 * h4 if ext_left else h4) + 1)
+        m = G[r0:r1, x4 - 1].max()
+        if m > dep:
+            dep = int(m)
+    if cfl_dep:
+        ly0 = y4 << sub_y
+        lx0 = x4 << sub_x
+        ly1 = min(g4[0].shape[0], ly0 + (h4 << sub_y))
+        lx1 = min(g4[0].shape[1], lx0 + (w4 << sub_x))
+        m = g4[0][ly0:ly1, lx0:lx1].max()
+        if m > dep:
+            dep = int(m)
+    L = dep + 1
+    G[y4: y4 + h4, x4: x4 + w4] = L
+    return L
 
 
 def build_schedule(seq, hdr, plans, filter_type_fn):
@@ -171,9 +160,13 @@ def build_schedule(seq, hdr, plans, filter_type_fn):
     sch = Schedule(seq, hdr, plans)
     mi_cols = plans.mi_cols
     uv_mode_grid = plans.grid("uv_mode")
-    levels = _assign_levels(plans, sch.sub_x, sch.sub_y, sch.num_planes,
-                            uv_mode_grid)
-    sch.n_levels = int(levels.max()) if len(levels) else 0
+    mi_rows = plans.mi_rows
+    g4 = [np.zeros((mi_rows, mi_cols), np.int32)]
+    for _ in range(sch.num_planes - 1):
+        g4.append(np.zeros((((mi_rows * 4 >> sch.sub_y) + 3) // 4,
+                            ((mi_cols * 4 >> sch.sub_x) + 3) // 4),
+                           np.int32))
+    sch.n_levels = 0
 
     mode_g = plans.grid("mode")
     angle_y_g = plans.grid("angle_y")
@@ -317,7 +310,14 @@ def build_schedule(seq, hdr, plans, filter_type_fn):
                 else:
                     s["dy"] = int(DR_INTRA_DERIVATIVE[270 - p_angle])
 
-        sch.classes.setdefault(key, BlockClass(w, h)).add(int(levels[i]), s)
+        ext_above = s["mode_family"] == MF_DIR and s["p_angle"] < 90
+        ext_left = s["mode_family"] == MF_DIR and s["p_angle"] > 180
+        cfl_dep = plane > 0 and mode == UV_CFL_PRED
+        lvl = _level_for(g4, plane, x4, y4, w // 4, h // 4, ext_above,
+                         ext_left, cfl_dep, sch.sub_x, sch.sub_y)
+        if lvl > sch.n_levels:
+            sch.n_levels = lvl
+        sch.classes.setdefault(key, BlockClass(w, h)).add(lvl, s)
     for bc in sch.classes.values():
         bc.finalize()
     return sch
