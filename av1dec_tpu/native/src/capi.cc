@@ -59,8 +59,8 @@ void merge_tile_plans(FramePlans* dst, const FramePlans& src, int r0, int r1,
   dst->coeffs.insert(dst->coeffs.end(), src.coeffs.begin(), src.coeffs.end());
   dst->palettes.insert(dst->palettes.end(), src.palettes.begin(),
                        src.palettes.end());
-  for (int32_t off : src.color_map_off)
-    dst->color_map_off.push_back(off + cmap_base);
+  for (int32_t off : src.color_map_off)  // keep the -1 "no map" sentinel
+    dst->color_map_off.push_back(off < 0 ? off : off + cmap_base);
   dst->color_map.insert(dst->color_map.end(), src.color_map.begin(),
                         src.color_map.end());
   dst->lr_units.insert(dst->lr_units.end(), src.lr_units.begin(),

@@ -12,7 +12,7 @@
 extern "C" {
 void* av1n_create();
 void av1n_destroy(void*);
-int av1n_parse_tu(void*, const char*, size_t);
+int av1n_parse_tu(void*, const uint8_t*, size_t);
 void av1n_set_threads(void*, int);
 const char* av1n_last_error(void*);
 }
@@ -36,7 +36,7 @@ int main(int argc, char** argv) {
   void* h = av1n_create();
   if (argc > 2) av1n_set_threads(h, atoi(argv[2]));
   int frames = 0;
-  std::vector<char> buf;
+  std::vector<uint8_t> buf;
   for (;;) {
     uint8_t fh[12];
     if (fread(fh, 1, 12, f) != 12) break;

@@ -4,10 +4,24 @@ jnp mirror of `pipeline.wavefront`'s NumPy executor [SPEC §7.11.2,
 SURVEY §7.1]: the host builds a level schedule with all control flow
 precomputed as per-block int scalars; the device executes the whole
 frame as ONE `lax.scan` over wavefront levels (no host round trips).
-Each scan step applies every block class (transform shape) present in
-the frame: gather edges from the evolving flat frame buffer, compute
-the intra prediction, add the (device-precomputed) residual, clamp and
-scatter back.
+
+Design (round 4; fixes the per-frame recompile + per-step compute
+pathologies of the per-(w,h)-class executor):
+
+* Blocks are grouped into FOUR fixed shape buckets T in {8, 16, 32, 64}
+  by max(w, h); block dims (w, h, log2 w, log2 h) travel as per-lane
+  DATA, not as static shapes.  The jit key is therefore stable across
+  frames of one stream: (bucket capacities, bit depth, subsampling,
+  edge-filter enable, padded level count) — all quantized to powers of
+  two, so the whole stream compiles once (the persistent compilation
+  cache then makes it free across runs).
+* Each scan step applies each bucket under `lax.cond(count > 0, ...)`;
+  empty buckets and the rare expensive families (directional with its
+  LUT machinery, filter-intra's serial patch recursion, palette, CfL)
+  are skipped at RUNTIME, not traced away — so levels that only carry
+  cheap DC/V/H lanes cost microseconds instead of the full predictor.
+* Scatters into the flat frame buffer run in place on the scan carry
+  (measured at HBM speed on v5e; see round-4 commit notes).
 
 All int32 (AV1 decode is integer-exact); bit-exactness is enforced by
 tests/test_wavefront.py against the NumPy executor, which in turn is
@@ -29,14 +43,20 @@ from av1dec_tpu.pipeline.wavefront import (MF_DC, MF_DIR, MF_FI, MF_H,
                                            MF_SMOOTH_H, MF_SMOOTH_V, MF_V,
                                            _SCALAR_FIELDS)
 
-_F = {name: i for i, name in enumerate(_SCALAR_FIELDS)}
+# device packing appends the per-lane block geometry to the shared
+# scalar schedule fields
+_DEV_FIELDS = list(_SCALAR_FIELDS) + ["w", "h", "lw", "lh"]
+_F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 _KERN = np.concatenate([np.zeros((1, 5), np.int64),
                         np.asarray(intra.INTRA_EDGE_KERNELS)],
                        axis=0).astype(np.int32)
+_SM = np.asarray(SM_WEIGHTS, np.int32)
 
 
-def _gather_edges(frame, sv, w, h, bd):
-    size = w + h
+def _gather_edges(frame, sv, T, bd):
+    """AboveRow/LeftCol for B lanes; static edge extent 2T (per-lane
+    limits clamp the reads, extra lanes/pixels are masked later)."""
+    size = 2 * T
     x, y = sv["x"], sv["y"]
     base, stride = sv["base"], sv["stride"]
     i = jnp.arange(size, dtype=jnp.int32)
@@ -115,15 +135,21 @@ def _dir_lut(edge, edge_up, up, npx_u):
     return jnp.where((up > 0)[:, None], lut_u, lut_n)
 
 
-def _take3(lut, idx, B, h, w):
-    """Gather [B, h, w] indices from per-lane LUT [B, n]."""
+def _take3(lut, idx, B, T):
+    """Gather [B, T, T] indices from per-lane LUT [B, n]."""
     return jnp.take_along_axis(lut, idx.reshape(B, -1),
-                               axis=1).reshape(B, h, w)
+                               axis=1).reshape(B, T, T)
 
 
-def _predict_dir(above, left, sv, w, h, bd, enable_edge_filter):
+def _predict_dir(above, left, sv, T, bd, enable_edge_filter):
+    """Directional prediction; per-lane block dims (w, h) as data.
+    Pixels beyond (h_l, w_l) compute garbage and are masked at the
+    scatter. [SPEC §7.11.2.4]"""
     B = above.shape[0]
-    size = w + h
+    w_l = sv["w"][:, None, None]
+    h_l = sv["h"][:, None, None]
+    size_l = w_l + h_l                      # per-lane w + h
+    lutmax = 4 * T + 2                      # static lut upper index
     p_angle = sv["p_angle"]
     if enable_edge_filter:
         do_c = sv["corner_filt"] > 0
@@ -133,13 +159,13 @@ def _predict_dir(above, left, sv, w, h, bd, enable_edge_filter):
         above = _edge_filter(above, sv["npx_above"], sv["str_above"])
         left = _edge_filter(left, sv["npx_left"], sv["str_left"])
     up_a, up_l = sv["up_above"], sv["up_left"]
-    npx_a = w + jnp.where(p_angle < 90, h, 0)
-    npx_l = h + jnp.where(p_angle > 180, w, 0)
+    npx_a = sv["w"] + jnp.where(p_angle < 90, sv["h"], 0)
+    npx_l = sv["h"] + jnp.where(p_angle > 180, sv["w"], 0)
     lutA = _dir_lut(above, _upsample(above, npx_a, bd), up_a, npx_a)
     lutL = _dir_lut(left, _upsample(left, npx_l, bd), up_l, npx_l)
 
-    jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    ii = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    ii = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     dx = sv["dx"][:, None, None]
     dy = sv["dy"][:, None, None]
     ua = up_a[:, None, None]
@@ -148,122 +174,148 @@ def _predict_dir(above, left, sv, w, h, bd, enable_edge_filter):
 
     idx1 = (ii + 1) * dx
     base1 = (idx1 >> (6 - ua)) + (jj << ua)
-    max_base_x = (size - 1) << ua
+    max_base_x = (size_l - 1) << ua
     shift1 = ((idx1 << ua) >> 1) & 0x1F
     b1c = jnp.minimum(base1, max_base_x)
-    v1 = _take3(lutA, b1c + 2, B, h, w) * (32 - shift1) + \
-        _take3(lutA, jnp.minimum(b1c + 3, 2 * size + 2), B, h, w) * shift1
+    v1 = _take3(lutA, b1c + 2, B, T) * (32 - shift1) + \
+        _take3(lutA, jnp.minimum(b1c + 3, lutmax), B, T) * shift1
+    mbx2 = jnp.minimum(max_base_x[:, 0, 0] + 2, lutmax)
     z1 = jnp.where(base1 < max_base_x, (v1 + 16) >> 5,
                    jnp.take_along_axis(
-                       lutA, (max_base_x + 2).reshape(B, 1),
-                       axis=1).reshape(B, 1, 1))
+                       lutA, mbx2.reshape(B, 1), axis=1).reshape(B, 1, 1))
 
     idx2 = (jj << 6) - (ii + 1) * dx
     base2 = idx2 >> (6 - ua)
     shift2 = ((idx2 << ua) >> 1) & 0x1F
-    b2c = jnp.clip(base2, -2, size * 2)
-    va = _take3(lutA, b2c + 2, B, h, w) * (32 - shift2) + \
-        _take3(lutA, jnp.minimum(b2c + 3, 2 * size + 2), B, h, w) * shift2
+    b2c = jnp.clip(base2, -2, size_l * 2)
+    va = _take3(lutA, b2c + 2, B, T) * (32 - shift2) + \
+        _take3(lutA, jnp.minimum(b2c + 3, lutmax), B, T) * shift2
     idx2l = (ii << 6) - (jj + 1) * dy
     base2l = idx2l >> (6 - ul)
     shift2l = ((idx2l << ul) >> 1) & 0x1F
-    b2lc = jnp.clip(base2l, -2, size * 2)
-    vl = _take3(lutL, b2lc + 2, B, h, w) * (32 - shift2l) + \
-        _take3(lutL, jnp.minimum(b2lc + 3, 2 * size + 2), B, h, w) * shift2l
+    b2lc = jnp.clip(base2l, -2, size_l * 2)
+    vl = _take3(lutL, b2lc + 2, B, T) * (32 - shift2l) + \
+        _take3(lutL, jnp.minimum(b2lc + 3, lutmax), B, T) * shift2l
     z2 = jnp.where(base2 >= -(1 << ua), (va + 16) >> 5, (vl + 16) >> 5)
 
     idx3 = (jj + 1) * dy
     base3 = (idx3 >> (6 - ul)) + (ii << ul)
-    max_base_y = (size - 1) << ul
+    max_base_y = (size_l - 1) << ul
     shift3 = ((idx3 << ul) >> 1) & 0x1F
     b3c = jnp.minimum(base3, max_base_y)
-    v3 = _take3(lutL, b3c + 2, B, h, w) * (32 - shift3) + \
-        _take3(lutL, jnp.minimum(b3c + 3, 2 * size + 2), B, h, w) * shift3
+    v3 = _take3(lutL, b3c + 2, B, T) * (32 - shift3) + \
+        _take3(lutL, jnp.minimum(b3c + 3, lutmax), B, T) * shift3
+    mby2 = jnp.minimum(max_base_y[:, 0, 0] + 2, lutmax)
     z3 = jnp.where(base3 < max_base_y, (v3 + 16) >> 5,
                    jnp.take_along_axis(
-                       lutL, (max_base_y + 2).reshape(B, 1),
-                       axis=1).reshape(B, 1, 1))
+                       lutL, mby2.reshape(B, 1), axis=1).reshape(B, 1, 1))
 
     return jnp.where(pa < 90, z1, jnp.where(pa < 180, z2, z3))
 
 
-def _predict_fi(above, left, fi_mode, w, h, bd):
+def _predict_fi(above, left, sv, T, bd):
     """Filter-intra: serial 4x2 patch recursion [SPEC §7.11.2.3].
-    vmapped over lanes; fori over patches in recursion order."""
+    Per-lane patch-grid dims; fori over patches in recursion order.
+    Filter-intra blocks are <= 32x32 so T <= 32 here."""
     B = above.shape[0]
+    w_l, h_l = sv["w"], sv["h"]
+    lw = sv["lw"]
     taps = jnp.asarray(
         np.asarray(FILTER_INTRA_TAPS, np.int32)[:, :, :7])  # [5, 8, 7]
-    tv = taps[jnp.clip(fi_mode, 0, 4)]                      # [B, 8, 7]
-    n_i = h // 2
-    n_j = w // 4
-    W1 = w + 1
-    # buf flat [B, (h+1)*(w+1)]
-    buf = jnp.zeros((B, (h + 1) * (w + 1)), jnp.int32)
-    buf = buf.at[:, 0:w + 1].set(above[:, 0:w + 1])
-    rows0 = (jnp.arange(h, dtype=jnp.int32) + 1) * W1
-    buf = buf.at[:, rows0].set(left[:, 1:h + 1])
+    tv = taps[jnp.clip(sv["fi_mode"], 0, 4)]                # [B, 8, 7]
+    n_j = w_l >> 2
+    n_patch = (h_l >> 1) * n_j
+    W1 = w_l + 1
+    buflen = (T + 1) * (T + 1)
     hi = (1 << bd) - 1
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    # init: top row 0..w_l, left column rows 1..h_l (per-lane stride W1)
+    buf = jnp.zeros((B, buflen + 1), jnp.int32)
+    col = jnp.arange(T + 1, dtype=jnp.int32)[None, :]
+    dst0 = jnp.where(col <= w_l[:, None], col, buflen)
+    buf = buf.at[bidx, dst0].set(above[:, :T + 1], mode="drop")
+    irow = jnp.arange(T, dtype=jnp.int32)[None, :]
+    dstl = jnp.where(irow < h_l[:, None], (irow + 1) * W1[:, None], buflen)
+    buf = buf.at[bidx, dstl].set(left[:, 1:T + 1], mode="drop")
+
+    ok = jnp.arange(8, dtype=jnp.int32)[None, :]
+    k5 = jnp.arange(5, dtype=jnp.int32)[None, :]
 
     def patch(p, buf):
-        si = p // n_j
-        sj = p % n_j
+        sj = p & (n_j - 1)
+        si = p >> jnp.maximum(lw - 2, 0)
         i = 1 + 2 * si
         j = 1 + 4 * sj
         o = (i - 1) * W1 + (j - 1)
-        g = jnp.stack([o, o + 1, o + 2, o + 3, o + 4,
-                       o + W1, o + 2 * W1])                    # [7]
-        pv = buf[:, g]                                          # [B, 7]
-        s = (tv * pv[:, None, :]).sum(-1)                       # [B, 8]
+        g = jnp.concatenate([o[:, None] + k5, (o + W1)[:, None],
+                             (o + 2 * W1)[:, None]], axis=1)      # [B, 7]
+        g = jnp.clip(g, 0, buflen)   # invalid patches read garbage, masked
+        pv = jnp.take_along_axis(buf, g, axis=1)                  # [B, 7]
+        s = (tv * pv[:, None, :]).sum(-1)                         # [B, 8]
         v = jnp.where(s >= 0, (s + 8) >> 4, -((-s + 8) >> 4))
         v = jnp.clip(v, 0, hi)
-        ok = jnp.arange(8, dtype=jnp.int32)
-        dst = i * W1 + j + (ok % 4) + (ok // 4) * W1            # [8]
-        return buf.at[:, dst].set(v)
+        dst = (i * W1 + j)[:, None] + (ok & 3) + (ok >> 2) * W1[:, None]
+        dst = jnp.where(p < n_patch[:, None], dst, buflen)
+        return buf.at[bidx, dst].set(v, mode="drop")
 
-    buf = jax.lax.fori_loop(0, n_i * n_j, patch, buf)
-    return buf.reshape(B, h + 1, w + 1)[:, 1:, 1:]
-
-
-def _smooth_b(above, left, w, h, mode):
-    sw_w = jnp.asarray(SM_WEIGHTS[w: w + w].astype(np.int32))[None, None, :]
-    sw_h = jnp.asarray(SM_WEIGHTS[h: h + h].astype(np.int32))[None, :, None]
-    a = above[:, None, 1:1 + w]
-    l = left[:, 1:1 + h, None]
-    right = above[:, w][:, None, None]
-    bottom = left[:, h][:, None, None]
-    if mode == MF_SMOOTH:
-        sm = (sw_h * a + (256 - sw_h) * bottom +
-              sw_w * l + (256 - sw_w) * right)
-        return (sm + 256) >> 9
-    if mode == MF_SMOOTH_V:
-        return (sw_h * a + (256 - sw_h) * bottom + 128) >> 8
-    return (sw_w * l + (256 - sw_w) * right + 128) >> 8
+    buf = jax.lax.fori_loop(0, (T // 2) * (T // 4), patch, buf)
+    ii = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+    gidx = (ii + 1) * W1[:, None, None] + (jj + 1)
+    return jnp.take_along_axis(buf, gidx.reshape(B, -1),
+                               axis=1).reshape(B, T, T)
 
 
-def _paeth_b(above, left, w, h):
-    a = above[:, None, 1:1 + w]
-    l = left[:, 1:1 + h, None]
+def _smooth_all(above, left, sv, T):
+    """All three smooth modes, per-lane dims. [SPEC §7.11.2.6]"""
+    sm = jnp.asarray(_SM)
+    w_l, h_l = sv["w"], sv["h"]
+    jj = jnp.arange(T, dtype=jnp.int32)
+    sw_w = sm[jnp.clip(w_l[:, None] + jj[None, :], 0, _SM.shape[0] - 1)]
+    sw_h = sm[jnp.clip(h_l[:, None] + jj[None, :], 0, _SM.shape[0] - 1)]
+    sw_w = sw_w[:, None, :]                                   # [B, 1, T]
+    sw_h = sw_h[:, :, None]                                   # [B, T, 1]
+    a = above[:, None, 1:1 + T]
+    l = left[:, 1:1 + T, None]
+    right = jnp.take_along_axis(above, w_l[:, None], axis=1)[:, :, None]
+    bottom = jnp.take_along_axis(left, h_l[:, None], axis=1)[:, :, None]
+    full = (sw_h * a + (256 - sw_h) * bottom +
+            sw_w * l + (256 - sw_w) * right + 256) >> 9
+    vert = (sw_h * a + (256 - sw_h) * bottom + 128) >> 8
+    horz = (sw_w * l + (256 - sw_w) * right + 128) >> 8
+    mf = sv["mode_family"][:, None, None]
+    return jnp.where(mf == MF_SMOOTH, full,
+                     jnp.where(mf == MF_SMOOTH_V, vert, horz))
+
+
+def _paeth_b(above, left, T):
+    B = above.shape[0]
+    a = above[:, None, 1:1 + T]
+    l = left[:, 1:1 + T, None]
     tl = above[:, 0][:, None, None]
     base = a + l - tl
     pa = jnp.abs(base - a)
     pl = jnp.abs(base - l)
     ptl = jnp.abs(base - tl)
-    sh = (a.shape[0], h, w)
+    sh = (B, T, T)
     return jnp.where((pa <= pl) & (pa <= ptl), jnp.broadcast_to(a, sh),
                      jnp.where(pl <= ptl, jnp.broadcast_to(l, sh),
                                jnp.broadcast_to(tl, sh)))
 
 
-def _cfl_adjust(frame, pred, sv, w, h, bd, sub_x, sub_y):
+def _cfl_adjust(frame, pred, sv, T, bd, sub_x, sub_y, pixmask):
+    """CfL: subsample co-located luma, remove average, scale, add.
+    [SPEC §7.11.5]"""
     B = pred.shape[0]
     lstride = sv["stride"] << sub_x
-    ii = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-    jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    ii = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
     ly = jnp.minimum((sv["y"][:, None, None] + ii) << sub_y,
                      sv["cfl_maxy"][:, None, None])
     lx = jnp.minimum((sv["x"][:, None, None] + jj) << sub_x,
                      sv["cfl_maxx"][:, None, None])
-    b = ly * lstride[:, None, None] + lx
+    b = jnp.maximum(ly * lstride[:, None, None] + lx, 0)
     if sub_x and sub_y:
         t = (frame[b] + frame[b + 1] + frame[b + lstride[:, None, None]] +
              frame[b + lstride[:, None, None] + 1]) << 1
@@ -271,8 +323,9 @@ def _cfl_adjust(frame, pred, sv, w, h, bd, sub_x, sub_y):
         t = (frame[b] + frame[b + 1]) << 2
     else:
         t = frame[b] << 3
-    shift = int(np.log2(w)) + int(np.log2(h))
-    avg = (t.reshape(B, -1).sum(1) + (1 << (shift - 1))) >> shift
+    shift = sv["lw"] + sv["lh"]
+    tot = jnp.where(pixmask, t, 0).reshape(B, -1).sum(1)
+    avg = (tot + (1 << jnp.maximum(shift - 1, 0))) >> shift
     ac = t - avg[:, None, None]
     alpha = sv["cfl_alpha"][:, None, None]
     sc = alpha * ac
@@ -280,101 +333,128 @@ def _cfl_adjust(frame, pred, sv, w, h, bd, sub_x, sub_y):
     return jnp.clip(pred + scaled, 0, (1 << bd) - 1)
 
 
-def _apply_class(frame, packed, start, count, res_t, pal_t, *, w, h, bd,
-                 Bmax, sub_x, sub_y, eef, fams):
-    """One (level, class) batch: predict + residual + scatter.
+_ALL_FAMS = frozenset({"dir", "fi", "pal", "cfl"})
 
-    packed: [N+Bmax, F] int32; start/count: scalars; res_t: [R, h, w];
-    pal_t: [P, h, w] or None.  `fams`: static set of mode families
-    present in this class (prunes dead code at trace time)."""
-    rows = jax.lax.dynamic_slice_in_dim(packed, start, Bmax, axis=0)
-    sv = {f: rows[:, k] for f, k in _F.items()}
-    lane = jnp.arange(Bmax, dtype=jnp.int32)
-    valid = lane < count
-    above, left = _gather_edges(frame, sv, w, h, bd)
-    mf = sv["mode_family"]
-    B = Bmax
-    out = jnp.zeros((B, h, w), jnp.int32)
 
-    if MF_DIR in fams:
-        out = jnp.where((mf == MF_DIR)[:, None, None],
-                        _predict_dir(above, left, sv, w, h, bd, eef), out)
-    if MF_V in fams:
+def _apply_bucket(frame, packed, start, count, res_t, pal_t, *, T, bd,
+                  Bmax, sub_x, sub_y, eef, fams=_ALL_FAMS):
+    """One (level, bucket) batch: predict + residual + scatter, skipped
+    entirely at runtime when the level has no blocks in this bucket.
+    `fams` statically gates the expensive families (ablation hook for
+    perf experiments; the product always passes the full set)."""
+
+    def body(frame):
+        rows = jax.lax.dynamic_slice(packed, (start, 0),
+                                     (Bmax, packed.shape[1]))
+        sv = {f: rows[:, k] for f, k in _F.items()}
+        lane = jnp.arange(Bmax, dtype=jnp.int32)
+        valid = lane < count
+        w_l, h_l = sv["w"], sv["h"]
+        above, left = _gather_edges(frame, sv, T, bd)
+        mf = sv["mode_family"]
+        B = Bmax
+        ii = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+        jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+        pixmask = (ii < h_l[:, None, None]) & (jj < w_l[:, None, None])
+
+        # cheap families computed unconditionally, selected by mask
+        out = _smooth_all(above, left, sv, T)
         out = jnp.where((mf == MF_V)[:, None, None],
-                        jnp.broadcast_to(above[:, None, 1:1 + w],
-                                         (B, h, w)), out)
-    if MF_H in fams:
+                        jnp.broadcast_to(above[:, None, 1:1 + T],
+                                         (B, T, T)), out)
         out = jnp.where((mf == MF_H)[:, None, None],
-                        jnp.broadcast_to(left[:, 1:1 + h, None],
-                                         (B, h, w)), out)
-    if MF_DC in fams:
-        dc_case = sv["dc_case"]
-        s_a = above[:, 1:1 + w].sum(1)
-        s_l = left[:, 1:1 + h].sum(1)
-        avg = jnp.where(
-            dc_case == 0, (s_a + s_l + ((w + h) >> 1)) // (w + h),
-            jnp.where(dc_case == 1, (s_a + (w >> 1)) >> int(np.log2(w)),
-                      jnp.where(dc_case == 2,
-                                (s_l + (h >> 1)) >> int(np.log2(h)),
-                                1 << (bd - 1))))
-        pred = jnp.broadcast_to(avg[:, None, None], (B, h, w))
-        if "cfl" in fams:
-            cfl = _cfl_adjust(frame, pred, sv, w, h, bd, sub_x, sub_y)
-            pred = jnp.where((sv["cfl_maxx"] > 0)[:, None, None], cfl, pred)
-        out = jnp.where((mf == MF_DC)[:, None, None], pred, out)
-    for fam in (MF_SMOOTH, MF_SMOOTH_V, MF_SMOOTH_H):
-        if fam in fams:
-            out = jnp.where((mf == fam)[:, None, None],
-                            _smooth_b(above, left, w, h, fam), out)
-    if MF_PAETH in fams:
+                        jnp.broadcast_to(left[:, 1:1 + T, None],
+                                         (B, T, T)), out)
         out = jnp.where((mf == MF_PAETH)[:, None, None],
-                        _paeth_b(above, left, w, h), out)
-    if MF_PAL in fams:
-        pal = pal_t[jnp.maximum(sv["pal_idx"], 0)]
-        out = jnp.where((mf == MF_PAL)[:, None, None], pal, out)
-    if MF_FI in fams:
-        fi = _predict_fi(above, left, sv["fi_mode"], w, h, bd)
-        out = jnp.where((mf == MF_FI)[:, None, None], fi, out)
+                        _paeth_b(above, left, T), out)
+        # DC with per-lane masked sums
+        jr = jnp.arange(T, dtype=jnp.int32)[None, :]
+        s_a = jnp.where(jr < w_l[:, None], above[:, 1:1 + T], 0).sum(1)
+        s_l = jnp.where(jr < h_l[:, None], left[:, 1:1 + T], 0).sum(1)
+        size_l = w_l + h_l
+        dc_case = sv["dc_case"]
+        avg = jnp.where(
+            dc_case == 0, (s_a + s_l + (size_l >> 1)) // size_l,
+            jnp.where(dc_case == 1, (s_a + (w_l >> 1)) >> sv["lw"],
+                      jnp.where(dc_case == 2,
+                                (s_l + (h_l >> 1)) >> sv["lh"],
+                                1 << (bd - 1))))
+        dc = jnp.broadcast_to(avg[:, None, None], (B, T, T))
+        if "cfl" in fams:
+            has_cfl = valid & (sv["cfl_maxx"] > 0)
+            dc = jax.lax.cond(
+                has_cfl.any(),
+                lambda d: jnp.where(has_cfl[:, None, None],
+                                    _cfl_adjust(frame, d, sv, T, bd,
+                                                sub_x, sub_y, pixmask), d),
+                lambda d: d, dc)
+        out = jnp.where((mf == MF_DC)[:, None, None], dc, out)
 
-    # residual
-    ridx = sv["res_idx"]
-    res = res_t[jnp.maximum(ridx, 0)]
-    out = jnp.where((ridx >= 0)[:, None, None],
-                    jnp.clip(out + res, 0, (1 << bd) - 1), out)
+        # expensive / rare families behind runtime conds
+        if "dir" in fams:
+            m_dir = valid & (mf == MF_DIR)
+            out = jax.lax.cond(
+                m_dir.any(),
+                lambda o: jnp.where(m_dir[:, None, None],
+                                    _predict_dir(above, left, sv, T, bd,
+                                                 eef),
+                                    o),
+                lambda o: o, out)
+        if "pal" in fams:
+            m_pal = valid & (mf == MF_PAL)
+            out = jax.lax.cond(
+                m_pal.any(),
+                lambda o: jnp.where(m_pal[:, None, None],
+                                    pal_t[jnp.maximum(sv["pal_idx"], 0)],
+                                    o),
+                lambda o: o, out)
+        if "fi" in fams and T <= 32:  # filter-intra blocks are <= 32x32
+            m_fi = valid & (mf == MF_FI)
+            out = jax.lax.cond(
+                m_fi.any(),
+                lambda o: jnp.where(m_fi[:, None, None],
+                                    _predict_fi(above, left, sv, T, bd), o),
+                lambda o: o, out)
 
-    # scatter (invalid lanes -> OOB index, dropped)
-    ii = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-    jj = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    fidx = (sv["base"][:, None, None] +
-            (sv["y"][:, None, None] + ii) * sv["stride"][:, None, None] +
-            sv["x"][:, None, None] + jj)
-    fidx = jnp.where(valid[:, None, None], fidx, frame.shape[0])
-    return frame.at[fidx.reshape(-1)].set(out.reshape(-1), mode="drop")
+        # residual
+        ridx = sv["res_idx"]
+        res = res_t[jnp.maximum(ridx, 0)]
+        out = jnp.where((ridx >= 0)[:, None, None],
+                        jnp.clip(out + res, 0, (1 << bd) - 1), out)
+
+        # scatter (masked pixels -> OOB index, dropped)
+        fidx = (sv["base"][:, None, None] +
+                (sv["y"][:, None, None] + ii) * sv["stride"][:, None, None] +
+                sv["x"][:, None, None] + jj)
+        fidx = jnp.where(valid[:, None, None] & pixmask, fidx,
+                         frame.shape[0])
+        return frame.at[fidx.reshape(-1)].set(out.reshape(-1), mode="drop")
+
+    return jax.lax.cond(count > 0, body, lambda f: f, frame)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def run_wavefront(frame0, class_inputs, res_tensors, pal_tensors, config):
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnames=("frame0",))
+def run_wavefront(frame0, bucket_inputs, res_tensors, pal_tensors, config):
     """frame0: flat int32 [flat_len].
-    class_inputs: {key: (packed [N+Bmax, F] int32, starts [L] int32,
-                         counts [L] int32)}
-    res_tensors: {key: [R, h, w] int32}; pal_tensors: {key: [P, h, w]}.
-    config: hashable ((key, Bmax, fams frozenset), ...), bd, sub_x,
-    sub_y, eef, L."""
-    (classes, bd, sub_x, sub_y, eef, L) = config
+    bucket_inputs: {T: (packed [N+Bmax, F] int32, starts [L] int32,
+                        counts [L] int32)}
+    res_tensors: {T: [R, T, T] int32}; pal_tensors: {T: [P, T, T]}.
+    config: (((T, Bmax), ...), bd, sub_x, sub_y, eef, L) — all powers
+    of two / booleans, stable across the frames of a stream."""
+    (buckets, bd, sub_x, sub_y, eef, L) = config
 
-    packed = {k: class_inputs[k][0] for k, _, _ in classes}
-    starts = jnp.stack([class_inputs[k][1] for k, _, _ in classes], axis=1)
-    counts = jnp.stack([class_inputs[k][2] for k, _, _ in classes], axis=1)
+    packed = {t: bucket_inputs[t][0] for t, _ in buckets}
+    starts = jnp.stack([bucket_inputs[t][1] for t, _ in buckets], axis=1)
+    counts = jnp.stack([bucket_inputs[t][2] for t, _ in buckets], axis=1)
 
     def step(frame, sc):
         st, cn = sc
-        for ci, (key, Bmax, fams) in enumerate(classes):
-            w, h = key
-            frame = _apply_class(
-                frame, packed[key], st[ci], cn[ci],
-                res_tensors[key], pal_tensors.get(key),
-                w=w, h=h, bd=bd, Bmax=Bmax, sub_x=sub_x, sub_y=sub_y,
-                eef=eef, fams=fams)
+        for bi, (T, Bmax) in enumerate(buckets):
+            frame = _apply_bucket(
+                frame, packed[T], st[bi], cn[bi],
+                res_tensors[T], pal_tensors[T],
+                T=T, bd=bd, Bmax=Bmax, sub_x=sub_x, sub_y=sub_y, eef=eef)
         return frame, ()
 
     frame, _ = jax.lax.scan(step, frame0, (starts, counts), length=L)

@@ -4,31 +4,65 @@ Runs the pixel back-half of one ALL-INTRA frame on the JAX device:
 residual buckets (dequant + inverse transform), the wavefront intra
 scan (ops/kernels/wavefront.py), and CDEF — with ONE host->device
 upload of the plan tensors and ONE device->host fetch of the final
-planes.  Frames the device path can't take (inter, deblock/LR present
-until those land on device) fall back to the host pipeline.
+planes.  Frames the device path can't take (inter until it lands on
+device) fall back to the host pipeline.
 
-[SURVEY §7.1/§7.3: entropy/pixel split, wavefront batching]
+Blocks are packed into four fixed shape buckets (T in {8, 16, 32, 64})
+with per-lane (w, h) data and power-of-two capacities so the device
+executor's jit key is stable across the frames of a stream
+[SURVEY §7.1/§7.3: entropy/pixel split, wavefront batching].
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from av1dec_tpu.ops.kernels.wavefront import _DEV_FIELDS
 from av1dec_tpu.ops.spec import dequant, itx
 from av1dec_tpu.pipeline import wavefront as wf
 
 TX_DIMS = itx.TX_DIMS
+BUCKETS = (8, 16, 32, 64)
+_DEV_F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 
 
-def _pow2(n):
-    return 1 << max(0, (int(n) - 1).bit_length())
+def _pow2(n, lo=1):
+    return max(lo, 1 << max(0, (int(n) - 1).bit_length()))
+
+
+def _bucket_for(w, h):
+    return _pow2(max(w, h), 8)
+
+
+# Monotonic per-geometry capacity cache: all device array extents are
+# rounded up to powers of two AND to the largest extent seen so far for
+# this frame geometry, so the executor's jit key converges after the
+# first frame (or two) of a stream instead of recompiling per frame.
+_CAPS = {}
+
+
+def _caps_for(sch):
+    key = (sch.flat_len, sch.bd, sch.sub_x, sch.sub_y,
+           sch.enable_edge_filter)
+    return _CAPS.setdefault(key, {
+        "L": 32,
+        "B": dict.fromkeys(BUCKETS, 8),    # lanes per level window
+        "N": dict.fromkeys(BUCKETS, 8),    # packed rows
+        "R": dict.fromkeys(BUCKETS, 1),    # residual slots
+        "P": dict.fromkeys(BUCKETS, 1),    # palette slots
+    })
+
+
+def _cap(caps, field, t, needed):
+    v = max(caps[field][t], _pow2(needed, caps[field][t]))
+    caps[field][t] = v
+    return v
 
 
 class DeviceRecon:
     """Device executor for one frame; `run()` returns host planes.
 
-    Use `supported(seq, hdr, plans)` first; construction assumes an
-    all-intra frame.
+    Use `supported()` first; construction assumes an all-intra frame.
     """
 
     def __init__(self, seq, hdr, plans):
@@ -36,6 +70,17 @@ class DeviceRecon:
         self._fr = FrameRecon(seq, hdr, plans)
         self.sch = wf.build_schedule(seq, hdr, plans, self._fr._filter_type)
         self.seq, self.hdr, self.plans = seq, hdr, plans
+        if self.sch is not None:
+            # deterministic per-(w, h) offsets into the bucket tensors
+            self._res_off, self._pal_off = {}, {}
+            self._res_tot = dict.fromkeys(BUCKETS, 0)
+            self._pal_tot = dict.fromkeys(BUCKETS, 0)
+            for key in sorted(self.sch.classes):
+                t = _bucket_for(*key)
+                self._res_off[key] = self._res_tot[t]
+                self._res_tot[t] += self.sch.res_count.get(key, 0)
+                self._pal_off[key] = self._pal_tot[t]
+                self._pal_tot[t] += len(self.sch.pal_preds.get(key, []))
 
     def supported(self):
         if self.sch is None:
@@ -54,7 +99,7 @@ class DeviceRecon:
 
     # -- residuals on device ---------------------------------------------
     def _residuals_device(self, jnp, coeffs_dev):
-        """Returns {key: [R, h, w] int32 device arrays} (R >= 1)."""
+        """Returns {T: [R, T, T] int32 device arrays} (R >= 1, pow2)."""
         from av1dec_tpu.ops.kernels.itx import residual_bucket
         from av1dec_tpu.ops.tables_data import AC_Q, DC_Q
         sch, plans, hdr, bd = self.sch, self.plans, self.hdr, self.sch.bd
@@ -70,12 +115,14 @@ class DeviceRecon:
                 rec = plans.tx[i]
                 buckets.setdefault((int(rec[3]), int(rec[4])), []).append(
                     (key, slot, i))
-        out = {key: jnp.zeros((max(sch.res_count.get(key, 0), 1),
-                               key[1], key[0]), jnp.int32)
-               for key in sch.classes}
-        host_rows = {}  # lossless/WHT rows computed on host
+        caps = _caps_for(sch)
+        out = {t: jnp.zeros((_cap(caps, "R", t, self._res_tot[t]), t, t),
+                            jnp.int32)
+               for t in BUCKETS}
+        host_rows = {}  # lossless/WHT rows computed on host, per bucket
         for (tsz, tt), items in buckets.items():
             w, h = (4, 4) if tsz == 19 else TX_DIMS[tsz]
+            t = _bucket_for(w, h)
             aw, ah = (4, 4) if tsz == 19 else (min(w, 32), min(h, 32))
             n = aw * ah
             B = len(items)
@@ -84,6 +131,7 @@ class DeviceRecon:
             dcd = np.zeros(B, np.int64)
             acd = np.zeros(B, np.int64)
             lossless = np.zeros(B, bool)
+            slots_g = np.zeros(B, np.int64)
             for b, (key, slot, i) in enumerate(items):
                 rec = plans.tx[i]
                 offs[b] = int(rec[6])
@@ -91,6 +139,7 @@ class DeviceRecon:
                 mi_r, mi_c = mi // mi_cols, mi % mi_cols
                 qidx[b] = qindex_g[mi_r, mi_c]
                 lossless[b] = bool(lossless_g[mi_r, mi_c])
+                slots_g[b] = self._res_off[key] + slot
                 plane = int(rec[0])
                 if plane == 0:
                     dcd[b], acd[b] = q["delta_q_y_dc"], 0
@@ -104,8 +153,8 @@ class DeviceRecon:
                     dq = dequant.dequant_block(
                         lv, tsz, int(qidx[b]), bd, int(dcd[b]),
                         int(acd[b]), bool(lossless[b]))
-                    host_rows.setdefault(key, []).append(
-                        (slot, itx.inverse_transform(dq, tsz, tt, bd)))
+                    host_rows.setdefault((t, h, w), []).append(
+                        (slots_g[b], itx.inverse_transform(dq, tsz, tt, bd)))
                 continue
             dcq = DC_Q[bi, np.clip(qidx + dcd, 0, 255)].astype(np.int32)
             acq = AC_Q[bi, np.clip(qidx + acd, 0, 255)].astype(np.int32)
@@ -118,53 +167,91 @@ class DeviceRecon:
                                 + jnp.arange(n, dtype=jnp.int32)[None, :]]
             res = residual_bucket(levels, jnp.asarray(dcq),
                                   jnp.asarray(acq), tsz, tt, bd)
-            # scatter rows into the per-(w, h) class tensors
-            per_key = {}
-            for b, (key, slot, i) in enumerate(items):
-                per_key.setdefault(key, ([], []))
-                per_key[key][0].append(b)
-                per_key[key][1].append(slot)
-            for key, (rows, slots) in per_key.items():
-                out[key] = out[key].at[np.asarray(slots)].set(
-                    res[np.asarray(rows)])
-        for key, pairs in host_rows.items():
+            out[t] = out[t].at[jnp.asarray(slots_g), :h, :w].set(res[:B])
+        for (t, h, w), pairs in host_rows.items():
             slots = np.asarray([s for s, _ in pairs])
             rows = np.stack([r for _, r in pairs]).astype(np.int32)
-            out[key] = out[key].at[slots].set(jnp.asarray(rows))
+            out[t] = out[t].at[slots, :h, :w].set(jnp.asarray(rows))
         return out
 
     # -- schedule packing --------------------------------------------------
-    def _pack_classes(self, jnp):
+    def _pack_buckets(self, jnp):
+        """Regroup the per-(w, h) schedule classes into the four fixed
+        shape buckets, remapping residual/palette slots to bucket-global
+        indices.  Returns (buckets config, inputs, pal tensors, Lp)."""
         sch = self.sch
-        Lp = (sch.n_levels + 31) // 32 * 32
-        classes = []
+        caps = _caps_for(sch)
+        caps["L"] = max(caps["L"], _pow2(sch.n_levels, 32))
+        Lp = caps["L"]
+        FD = len(_DEV_FIELDS)
+        rows_by_t = {t: [] for t in BUCKETS}
+        lvls_by_t = {t: [] for t in BUCKETS}
+        for key, bc in sorted(sch.classes.items()):
+            w, h = key
+            t = _bucket_for(w, h)
+            N = len(bc.levels_sorted)
+            arr = np.zeros((N, FD), np.int32)
+            for f, a in bc.packed.items():
+                arr[:, _DEV_F[f]] = a
+            ridx = arr[:, _DEV_F["res_idx"]]
+            arr[:, _DEV_F["res_idx"]] = np.where(
+                ridx >= 0, ridx + self._res_off[key], -1)
+            pidx = arr[:, _DEV_F["pal_idx"]]
+            arr[:, _DEV_F["pal_idx"]] = np.where(
+                pidx >= 0, pidx + self._pal_off[key], -1)
+            arr[:, _DEV_F["w"]] = w
+            arr[:, _DEV_F["h"]] = h
+            arr[:, _DEV_F["lw"]] = int(np.log2(w))
+            arr[:, _DEV_F["lh"]] = int(np.log2(h))
+            rows_by_t[t].append(arr)
+            lvls_by_t[t].append(bc.levels_sorted)
+
+        buckets = []
         inputs = {}
         pal = {}
-        for key, bc in sorted(sch.classes.items()):
-            N = len(bc.levels_sorted)
-            Bmax = max(se[1] - se[0] for se in bc.level_slices.values())
-            Bmax = _pow2(Bmax)
-            F = len(wf._SCALAR_FIELDS)
-            packed = np.zeros((N + Bmax, F), np.int32)
-            for f, arr in bc.packed.items():
-                packed[:N, wf._SCALAR_FIELDS.index(f)] = arr
-            packed[N:, wf._SCALAR_FIELDS.index("res_idx")] = -1
-            packed[N:, wf._SCALAR_FIELDS.index("pal_idx")] = -1
+        for t in BUCKETS:
+            if rows_by_t[t]:
+                arr = np.concatenate(rows_by_t[t], axis=0)
+                lv = np.concatenate(lvls_by_t[t])
+                order = np.argsort(lv, kind="stable")
+                arr, lv = arr[order], lv[order]
+            else:
+                arr = np.zeros((0, FD), np.int32)
+                lv = np.zeros(0, np.int64)
             starts = np.zeros(Lp, np.int32)
             counts = np.zeros(Lp, np.int32)
-            for lvl, (s, e) in bc.level_slices.items():
-                starts[lvl - 1] = s
-                counts[lvl - 1] = e - s
-            fams = frozenset(np.unique(bc.packed["mode_family"]).tolist())
-            if (bc.packed["cfl_maxx"] > 0).any():
-                fams = fams | {"cfl"}
-            classes.append((key, int(Bmax), fams))
-            inputs[key] = (jnp.asarray(packed), jnp.asarray(starts),
-                           jnp.asarray(counts))
-            if key in sch.pal_preds:
-                pal[key] = jnp.asarray(
-                    np.stack(sch.pal_preds[key]).astype(np.int32))
-        return tuple(classes), inputs, pal, Lp
+            if len(lv):
+                uniq, s_idx, cnt = np.unique(lv, return_index=True,
+                                             return_counts=True)
+                starts[uniq - 1] = s_idx
+                counts[uniq - 1] = cnt
+            Bmax = _cap(caps, "B", t, counts.max() if len(lv) else 0)
+            n_cap = _cap(caps, "N", t, len(arr))
+            pad = np.zeros((n_cap - len(arr) + Bmax, FD), np.int32)
+            pad[:, _DEV_F["res_idx"]] = -1
+            pad[:, _DEV_F["pal_idx"]] = -1
+            pad[:, _DEV_F["above_case"]] = 2
+            pad[:, _DEV_F["left_case"]] = 2
+            pad[:, _DEV_F["corner_case"]] = 3
+            pad[:, _DEV_F["dc_case"]] = 3
+            pad[:, _DEV_F["w"]] = pad[:, _DEV_F["h"]] = 4
+            pad[:, _DEV_F["lw"]] = pad[:, _DEV_F["lh"]] = 2
+            packed = np.concatenate([arr, pad], axis=0)
+            buckets.append((t, int(Bmax)))
+            inputs[t] = (jnp.asarray(packed), jnp.asarray(starts),
+                         jnp.asarray(counts))
+            # palette tensor, padded into the bucket tile
+            P = _cap(caps, "P", t, self._pal_tot[t])
+            pt = np.zeros((P, t, t), np.int32)
+            for key, preds in sch.pal_preds.items():
+                if _bucket_for(*key) != t:
+                    continue
+                off = self._pal_off[key]
+                w, h = key
+                for k, pr in enumerate(preds):
+                    pt[off + k, :h, :w] = pr
+            pal[t] = jnp.asarray(pt)
+        return tuple(buckets), inputs, pal, Lp
 
     def run_device(self):
         """Returns the final planes as DEVICE arrays (async)."""
@@ -174,8 +261,8 @@ class DeviceRecon:
         coeffs_dev = jnp.asarray(
             np.asarray(self.plans.coeffs, np.int32))
         res = self._residuals_device(jnp, coeffs_dev)
-        classes, inputs, pal, Lp = self._pack_classes(jnp)
-        config = (classes, sch.bd, sch.sub_x, sch.sub_y,
+        buckets, inputs, pal, Lp = self._pack_buckets(jnp)
+        config = (buckets, sch.bd, sch.sub_x, sch.sub_y,
                   sch.enable_edge_filter, Lp)
         frame0 = jnp.zeros(sch.flat_len, jnp.int32)
         frame = run_wavefront(frame0, inputs, res, pal, config)

@@ -649,11 +649,9 @@ def _cfl_adjust(frame, pred, sv, w, h, bd, sub_x, sub_y):
     """Batched CfL: subsample co-located recon luma, remove average,
     scale by alpha, add to the DC prediction. [SPEC §7.11.5]"""
     B = pred.shape[0]
-    # luma plane is plane 0: base 0, stride = luma alloc stride
-    # (the luma stride equals chroma stride << sub_x)
-    lstride = sv["stride"] * 0 + (sv["stride"][0] << sub_x) \
-        if B else sv["stride"]
-    lstride = (sv["stride"] << sub_x)
+    # luma plane is plane 0: base 0; its alloc stride equals the chroma
+    # stride << sub_x
+    lstride = sv["stride"] << sub_x
     ii = np.arange(h)[None, :, None]
     jj = np.arange(w)[None, None, :]
     ly = np.minimum((sv["y"][:, None, None] + ii) << sub_y,
