@@ -86,11 +86,14 @@ def _constrain(diff, strength, shift):
 
 
 def _filter_plane(plane_arr, pri_px, sec_px, dir_px, pri_shift, sec_shift,
-                  apply_px, coeff_shift):
-    """One plane, whole-frame.  All *_px are [H,W] int32."""
+                  apply_px, coeff_shift, pad=None):
+    """One plane, whole-frame.  All *_px are [H,W] int32.  `pad` may be
+    a prebuilt [H+4, W+4] bordered copy (the column-sharded path builds
+    it with neighbour halos over ICI instead of CDEF_VERY_LARGE)."""
     H, W = plane_arr.shape
-    pad = jnp.full((H + 4, W + 4), CDEF_VERY_LARGE, jnp.int32)
-    pad = pad.at[2:H + 2, 2:W + 2].set(plane_arr.astype(jnp.int32))
+    if pad is None:
+        pad = jnp.full((H + 4, W + 4), CDEF_VERY_LARGE, jnp.int32)
+        pad = pad.at[2:H + 2, 2:W + 2].set(plane_arr.astype(jnp.int32))
     x = plane_arr.astype(jnp.int32)
     total = jnp.zeros((H, W), jnp.int32)
     mx = x
@@ -133,12 +136,13 @@ def _filter_plane(plane_arr, pri_px, sec_px, dir_px, pri_shift, sec_shift,
     return jnp.where(apply_px, y, plane_arr.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _cdef_all(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
-              bd, damping_y, subx, suby):
-    """Whole-frame CDEF on device.  `planes`: tuple of [H,W] int32 plane
-    arrays; *_u: per-8x8-luma-unit strengths (already gated by `active`,
-    <=0 where inactive).  Returns the filtered planes (same shapes)."""
+def _cdef_core(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
+               bd, damping_y, subx, suby, mk_pad=None):
+    """CDEF on device.  `planes`: tuple of [H,W] int32 plane arrays;
+    *_u: per-8x8-luma-unit strengths (already gated by `active`, <=0
+    where inactive).  `mk_pad(plane)` optionally supplies the bordered
+    [H+4, W+4] copy (the column-sharded path exchanges ICI halos there).
+    Returns the filtered planes (same shapes)."""
     coeff_shift = bd - 8
     luma = planes[0]
     dirs, var = _directions(luma, bd)
@@ -165,7 +169,8 @@ def _cdef_all(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
         expand(jnp.where(active_pri, dirs, 0), 8, 8, H, W),
         expand(shift_for(pri_adj, damping_y), 8, 8, H, W),
         expand(shift_for(y_sec_u, damping_y), 8, 8, H, W),
-        expand(apply_y, 8, 8, H, W), coeff_shift)]
+        expand(apply_y, 8, 8, H, W), coeff_shift,
+        pad=mk_pad(luma) if mk_pad else None)]
 
     if len(planes) > 1:
         uvdir = jnp.where(uv_pri_u > 0, dirs, 0)
@@ -181,30 +186,39 @@ def _cdef_all(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
                 expand(shift_for(uv_sec_u, damping_y - 1), ry, rx, Hc, Wc),
                 expand(apply_uv, ry, rx, Hc, Wc))
         for pl in (1, 2):
-            out.append(_filter_plane(planes[pl], *args, coeff_shift))
+            out.append(_filter_plane(
+                planes[pl], *args, coeff_shift,
+                pad=mk_pad(planes[pl]) if mk_pad else None))
     return tuple(out)
 
 
-def cdef_frame(planes, seq, hdr, plans, bd):
-    """Drop-in device replacement for ops.spec.cdef_vec.cdef_frame.
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _cdef_all(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
+              bd, damping_y, subx, suby):
+    """Single-device whole-frame CDEF (jitted _cdef_core)."""
+    return _cdef_core(planes, y_pri_u, y_sec_u, uv_pri_u, uv_sec_u,
+                      bd, damping_y, subx, suby)
 
-    Host computes only the tiny per-8x8-unit strength gating (mi-grid
-    bookkeeping); everything per-pixel runs in ONE jitted dispatch.
-    """
-    c = hdr["cdef"]
-    if hdr.get("coded_lossless") or hdr.get("allow_intrabc"):
-        return planes
+
+def compute_gates(seq, hdr, plans, n_planes, bd):
+    """Host-side per-8x8-unit CDEF strength gating (mi-grid
+    bookkeeping).  Returns (y_pri, y_sec, uv_pri, uv_sec, damping,
+    subx, suby) host int32 arrays, or None when CDEF is disabled for
+    this frame. [SPEC §7.15.1]"""
+    c = hdr.get("cdef")
+    if not c or hdr.get("coded_lossless") or hdr.get("allow_intrabc"):
+        return None
     nstr = 1 << c["bits"]
     if all(c["y_pri"][i] == 0 and c["y_sec"][i] == 0 and
            c["uv_pri"][i] == 0 and c["uv_sec"][i] == 0
            for i in range(nstr)):
-        return planes
+        return None
     coeff_shift = bd - 8
     mi_rows, mi_cols = plans.mi_rows, plans.mi_cols
     skip = plans.grid("skip").astype(np.int64)
     cdef_mi = plans.grid("cdef").astype(np.int64)
-    subx = seq.get("subsampling_x", 1) if len(planes) > 1 else 0
-    suby = seq.get("subsampling_y", 1) if len(planes) > 1 else 0
+    subx = seq.get("subsampling_x", 1) if n_planes > 1 else 0
+    suby = seq.get("subsampling_y", 1) if n_planes > 1 else 0
 
     uR, uC = (mi_rows + 1) // 2, (mi_cols + 1) // 2
     r1 = np.minimum(np.arange(uR) * 2 + 1, mi_rows - 1)
@@ -221,17 +235,25 @@ def cdef_frame(planes, seq, hdr, plans, bd):
         u = np.asarray(tbl, np.int32)[idxc] << coeff_shift
         return np.where(active, u, 0).astype(np.int32)
 
-    y_pri_u = gate(c["y_pri"])
-    y_sec_u = gate(c["y_sec"])
-    uv_pri_u = gate(c["uv_pri"])
-    uv_sec_u = gate(c["uv_sec"])
+    return (gate(c["y_pri"]), gate(c["y_sec"]), gate(c["uv_pri"]),
+            gate(c["uv_sec"]), c["damping"] + coeff_shift, subx, suby)
 
+
+def cdef_frame(planes, seq, hdr, plans, bd):
+    """Drop-in device replacement for ops.spec.cdef_vec.cdef_frame.
+
+    Host computes only the tiny per-8x8-unit strength gating; everything
+    per-pixel runs in ONE jitted dispatch.
+    """
+    gates = compute_gates(seq, hdr, plans, len(planes), bd)
+    if gates is None:
+        return planes
+    y_pri_u, y_sec_u, uv_pri_u, uv_sec_u, damping, subx, suby = gates
     dev_planes = tuple(
         jnp.asarray(np.ascontiguousarray(p, np.int32)) for p in planes)
     outs = _cdef_all(dev_planes, jnp.asarray(y_pri_u),
                      jnp.asarray(y_sec_u), jnp.asarray(uv_pri_u),
-                     jnp.asarray(uv_sec_u), bd,
-                     c["damping"] + coeff_shift, subx, suby)
+                     jnp.asarray(uv_sec_u), bd, damping, subx, suby)
     fetched = jax.device_get(outs)
     for pl, out in enumerate(fetched):
         planes[pl][...] = out

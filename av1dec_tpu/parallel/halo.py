@@ -29,3 +29,18 @@ def exchange_halo_cols(block, halo, axis_name="space"):
     from_right = jnp.where(idx == n - 1, jnp.repeat(
         block[:, -1:], halo, axis=1), from_right)
     return jnp.concatenate([from_left, block, from_right], axis=1)
+
+
+def exchange_halo_cols_fill(block, halo, fill, axis_name="space"):
+    """Like exchange_halo_cols but the frame-boundary shards receive a
+    constant `fill` in their outer halo (CDEF's out-of-frame sentinel
+    CDEF_VERY_LARGE) instead of replicated edge pixels."""
+    n = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    from_left = lax.ppermute(
+        block[:, -halo:], axis_name, [(i, (i + 1) % n) for i in range(n)])
+    from_right = lax.ppermute(
+        block[:, :halo], axis_name, [(i, (i - 1) % n) for i in range(n)])
+    from_left = jnp.where(idx == 0, fill, from_left)
+    from_right = jnp.where(idx == n - 1, fill, from_right)
+    return jnp.concatenate([from_left, block, from_right], axis=1)

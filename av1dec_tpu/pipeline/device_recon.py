@@ -279,42 +279,16 @@ class DeviceRecon:
         return [p.astype(odt) for p in planes]
 
     def _cdef_device(self, jnp, planes):
-        hdr, seq, plans, bd = self.hdr, self.seq, self.plans, self.sch.bd
-        c = hdr.get("cdef")
-        if not c or hdr.get("coded_lossless") or hdr.get("allow_intrabc"):
-            return planes
-        nstr = 1 << c["bits"]
-        if all(c["y_pri"][i] == 0 and c["y_sec"][i] == 0 and
-               c["uv_pri"][i] == 0 and c["uv_sec"][i] == 0
-               for i in range(nstr)):
-            return planes
         from av1dec_tpu.ops.kernels import cdef as cdef_dev
-        coeff_shift = bd - 8
-        mi_rows, mi_cols = plans.mi_rows, plans.mi_cols
-        skip = plans.grid("skip").astype(np.int64)
-        cdef_mi = plans.grid("cdef").astype(np.int64)
-        subx = seq.get("subsampling_x", 1) if len(planes) > 1 else 0
-        suby = seq.get("subsampling_y", 1) if len(planes) > 1 else 0
-        uR, uC = (mi_rows + 1) // 2, (mi_cols + 1) // 2
-        r1 = np.minimum(np.arange(uR) * 2 + 1, mi_rows - 1)
-        c1 = np.minimum(np.arange(uC) * 2 + 1, mi_cols - 1)
-        r0 = np.arange(uR) * 2
-        c0 = np.arange(uC) * 2
-        unit_skip = skip[np.ix_(r0, c0)] & skip[np.ix_(r0, c1)] & \
-            skip[np.ix_(r1, c0)] & skip[np.ix_(r1, c1)]
-        idx = cdef_mi[np.ix_(r0, c0)]
-        active = (unit_skip == 0) & (idx >= 0)
-        idxc = np.clip(idx, 0, nstr - 1)
-
-        def gate(tbl):
-            u = np.asarray(tbl, np.int32)[idxc] << coeff_shift
-            return np.where(active, u, 0).astype(np.int32)
-
+        gates = cdef_dev.compute_gates(self.seq, self.hdr, self.plans,
+                                       len(planes), self.sch.bd)
+        if gates is None:
+            return planes
+        y_pri, y_sec, uv_pri, uv_sec, damping, subx, suby = gates
         outs = cdef_dev._cdef_all(
-            tuple(planes), jnp.asarray(gate(c["y_pri"])),
-            jnp.asarray(gate(c["y_sec"])), jnp.asarray(gate(c["uv_pri"])),
-            jnp.asarray(gate(c["uv_sec"])), bd,
-            c["damping"] + coeff_shift, subx, suby)
+            tuple(planes), jnp.asarray(y_pri), jnp.asarray(y_sec),
+            jnp.asarray(uv_pri), jnp.asarray(uv_sec), self.sch.bd,
+            damping, subx, suby)
         return list(outs)
 
     def run(self):
