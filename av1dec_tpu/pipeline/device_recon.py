@@ -104,6 +104,9 @@ class DeviceRecon:
         from av1dec_tpu.ops.tables_data import AC_Q, DC_Q
         sch, plans, hdr, bd = self.sch, self.plans, self.hdr, self.sch.bd
         q = hdr["quant"]
+        use_qm = bool(q.get("using_qmatrix"))
+        qm_by_plane = (q.get("qm_y", 15), q.get("qm_u", 15),
+                       q.get("qm_v", 15))
         g = plans.grid
         qindex_g, lossless_g = g("qindex"), g("lossless")
         mi_cols = plans.mi_cols
@@ -132,6 +135,9 @@ class DeviceRecon:
             acd = np.zeros(B, np.int64)
             lossless = np.zeros(B, bool)
             slots_g = np.zeros(B, np.int64)
+            qml = np.full(B, 15, np.int64)
+            qmc = np.zeros(B, bool)
+            qm_ok = use_qm and tt < 9  # qm only for 2-D transforms
             for b, (key, slot, i) in enumerate(items):
                 rec = plans.tx[i]
                 offs[b] = int(rec[6])
@@ -147,12 +153,17 @@ class DeviceRecon:
                     dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
                 else:
                     dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
-            if tsz == 19 or lossless.any():
+                if qm_ok and not lossless[b]:
+                    qml[b] = qm_by_plane[plane]
+                    qmc[b] = plane >= 1
+            if tsz == 19 or lossless.any() or (qml < 15).any():
+                from av1dec_tpu.ops.qm_data import qm_row
                 for b, (key, slot, i) in enumerate(items):
                     lv = self.plans.coeffs[offs[b]: offs[b] + n]
                     dq = dequant.dequant_block(
                         lv, tsz, int(qidx[b]), bd, int(dcd[b]),
-                        int(acd[b]), bool(lossless[b]))
+                        int(acd[b]), bool(lossless[b]),
+                        qm=qm_row(int(qml[b]), bool(qmc[b]), w, h))
                     host_rows.setdefault((t, h, w), []).append(
                         (slots_g[b], itx.inverse_transform(dq, tsz, tt, bd)))
                 continue

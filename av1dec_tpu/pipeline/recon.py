@@ -140,6 +140,9 @@ class FrameRecon:
         (mirrors the device-side batched kernel layout)."""
         plans = self.plans
         q = self.hdr["quant"]
+        use_qm = bool(q.get("using_qmatrix"))
+        qm_by_plane = (q.get("qm_y", 15), q.get("qm_u", 15),
+                       q.get("qm_v", 15))
         buckets = {}
         for i, rec in enumerate(plans.tx):
             eob = int(rec[5])
@@ -158,6 +161,9 @@ class FrameRecon:
             dcd = np.zeros(B, np.int64)
             acd = np.zeros(B, np.int64)
             lossless = np.zeros(B, bool)
+            qml = np.full(B, 15, np.int64)
+            qmc = np.zeros(B, bool)
+            qm_ok = use_qm and tt < 9  # qm only for 2-D transforms
             for b, i in enumerate(idxs):
                 rec = plans.tx[i]
                 off = int(rec[6])
@@ -173,20 +179,29 @@ class FrameRecon:
                     dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
                 else:
                     dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
+                if qm_ok and not lossless[b]:
+                    qml[b] = qm_by_plane[plane]
+                    qmc[b] = plane >= 1
+            has_qm = (qml < 15).any()
             if tsz == 19 or lossless.any():
                 # lossless WHT: scalar per block (rare path)
+                from av1dec_tpu.ops.qm_data import qm_row
+                w_t, h_t = (4, 4) if tsz == 19 else TX_DIMS[tsz]
                 for b, i in enumerate(idxs):
+                    qmv = qm_row(int(qml[b]), bool(qmc[b]), w_t, h_t)
                     dq = dequant.dequant_block(
                         levels[b], tsz, int(qidx[b]), self.bd,
-                        int(dcd[b]), int(acd[b]), bool(lossless[b]))
+                        int(dcd[b]), int(acd[b]), bool(lossless[b]),
+                        qm=qmv)
                     res[i] = itx.inverse_transform(dq, tsz, tt, self.bd)
                 continue
-            if _DEVICE:
+            if _DEVICE and not has_qm:
                 pending.append((idxs, self._residuals_device(
                     levels, qidx, dcd, acd, tsz, tt, B), B))
             else:
                 dq = dequant.dequant_batch(levels, tsz, qidx, self.bd,
-                                           dcd, acd)
+                                           dcd, acd, qm_levels=qml,
+                                           qm_chroma=qmc)
                 out = itx.inverse_transform_lanes(dq, tsz, tt, self.bd)
                 for b, i in enumerate(idxs):
                     res[i] = out[b]

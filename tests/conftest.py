@@ -94,6 +94,12 @@ SPEC_CASES = {
                            ("enable-cdef", "1"),
                            ("enable-restoration", "1")]),
     "rect64":  dict(w=32, h=64, n=1, cq=50, noise=8),
+    "qm":      dict(w=128, h=96, n=1, cq=40,
+                    extra=[("enable-qm", "1"), ("qm-min", "0"),
+                           ("qm-max", "4")]),
+    "qm_444":  dict(w=96, h=96, n=1, cq=45, subsampling=(0, 0),
+                    extra=[("enable-qm", "1"), ("qm-min", "2"),
+                           ("qm-max", "6")]),
 }
 
 

@@ -90,6 +90,18 @@ CASES = {
                        extra=[("enable-restoration", "1")]),
     "lr_444":     dict(w=128, h=96, n=1, cq=50, subsampling=(0, 0),
                        extra=[("enable-restoration", "1")]),
+    "qm":         dict(w=128, h=96, n=1, cq=40,
+                       extra=[("enable-qm", "1"), ("qm-min", "0"),
+                              ("qm-max", "4")]),
+    "qm_strong":  dict(w=128, h=128, n=1, cq=55,
+                       extra=[("enable-qm", "1"), ("qm-min", "0"),
+                              ("qm-max", "0")]),
+    "qm_444":     dict(w=96, h=96, n=1, cq=40, subsampling=(0, 0),
+                       extra=[("enable-qm", "1"), ("qm-min", "2"),
+                              ("qm-max", "6")]),
+    "qm_bd10":    dict(w=96, h=96, n=1, cq=40, bit_depth=10,
+                       extra=[("enable-qm", "1"), ("qm-min", "0"),
+                              ("qm-max", "4")]),
 }
 
 
