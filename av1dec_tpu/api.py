@@ -49,12 +49,36 @@ class _Slot:
 
 
 class Decoder:
-    """AV1 decoder: temporal units in, display-order frames out."""
+    """AV1 decoder: temporal units in, display-order frames out.
+
+    `config`: DecoderConfig (threads, device platform, grain, frame
+    limits); None = defaults.  Pixel work runs on the JAX device path
+    (wavefront + CDEF) when the frame qualifies and the configured
+    platform is an accelerator; otherwise the NumPy spec pipeline.
+    """
 
     def __init__(self, config=None) -> None:
-        self.config = config
-        self._parser = NativeParser()
+        from av1dec_tpu.config import DecoderConfig
+        self.config = config or DecoderConfig()
+        self._parser = NativeParser(threads=self.config.threads)
         self._dpb: Dict[int, Optional[_Slot]] = {i: None for i in range(8)}
+        self._shown = 0
+        self._use_device = None  # resolved lazily (may import jax)
+
+    def _device_enabled(self) -> bool:
+        if self._use_device is None:
+            cfg = self.config
+            if cfg.use_spec_kernels or cfg.platform == "off":
+                self._use_device = False
+            elif cfg.platform in ("tpu", "cpu", "gpu"):
+                self._use_device = True
+            else:  # auto: device path only on a real accelerator
+                try:
+                    import jax
+                    self._use_device = jax.default_backend() != "cpu"
+                except Exception:
+                    self._use_device = False
+        return self._use_device
 
     @property
     def seq(self):
@@ -83,8 +107,14 @@ class Decoder:
                         refs[rf] = {"planes": slot.planes,
                                     "width": slot.width,
                                     "height": slot.height}
-            recon = FrameRecon(seq, hdr, plans, refs=refs)
-            planes = recon.run()
+            planes = None
+            if refs is None and self._device_enabled():
+                from av1dec_tpu.pipeline.device_recon import DeviceRecon
+                dr = DeviceRecon(seq, hdr, plans, config=self.config)
+                if dr.supported():
+                    planes = dr.run()
+            if planes is None:
+                planes = FrameRecon(seq, hdr, plans, refs=refs).run()
             slot = _Slot(planes=planes,
                          width=hdr["upscaled_width"],
                          height=hdr["frame_height"],
@@ -96,15 +126,19 @@ class Decoder:
             for i in range(8):
                 if (hdr["refresh_frame_flags"] >> i) & 1:
                     self._dpb[i] = slot
-            if hdr.get("show_frame"):
+            if hdr.get("show_frame") or self.config.output_invisible:
                 out.append(self._emit(planes, slot, hdr))
+        if self.config.max_frames:
+            room = self.config.max_frames - self._shown
+            out = out[:max(0, room)]
+        self._shown += len(out)
         return out
 
     def _emit(self, planes, slot, hdr) -> OutputFrame:
         grain = slot.grain if hdr.get("show_existing_frame") \
             else (hdr.get("grain") or {})
         out_planes = planes
-        if grain.get("apply_grain"):
+        if grain.get("apply_grain") and self.config.apply_grain:
             from av1dec_tpu.ops.spec import film_grain
             out_planes = film_grain.apply_grain(
                 planes, grain, slot.bit_depth, slot.subsampling[0],
@@ -118,12 +152,13 @@ class Decoder:
         self._parser.close()
 
 
-def decode_ivf(path: str) -> List[OutputFrame]:
+def decode_ivf(path: str, config=None) -> List[OutputFrame]:
     """Decode a whole IVF file (convenience)."""
     import struct
 
     frames: List[OutputFrame] = []
-    dec = Decoder()
+    dec = Decoder(config)
+    limit = dec.config.max_frames
     with open(path, "rb") as f:
         head = f.read(32)
         assert head[:4] == b"DKIF", "not an IVF file"
@@ -133,5 +168,7 @@ def decode_ivf(path: str) -> List[OutputFrame]:
                 break
             size = struct.unpack("<I", fh[:4])[0]
             frames += dec.decode(f.read(size))
+            if limit and len(frames) >= limit:
+                break
     dec.close()
     return frames

@@ -44,9 +44,25 @@ def main(argv=None):
                     help="decode at most N frames")
     ap.add_argument("--summary", action="store_true",
                     help="print decode-rate summary")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="entropy-decode worker threads (tile-parallel)")
+    ap.add_argument("--device", choices=["auto", "off", "cpu", "tpu"],
+                    default="auto",
+                    help="pixel-pipeline device path: auto (accelerator "
+                         "if present), off (NumPy spec model), or a "
+                         "specific JAX platform")
+    ap.add_argument("--no-grain", action="store_true",
+                    help="skip film-grain synthesis at output")
     args = ap.parse_args(argv)
 
     from av1dec_tpu.api import Decoder
+    from av1dec_tpu.config import DecoderConfig
+
+    config = DecoderConfig(
+        threads=args.threads,
+        platform=None if args.device == "auto" else args.device,
+        apply_grain=not args.no_grain,
+        max_frames=args.limit)
 
     t0 = time.monotonic()
     n = 0
@@ -54,7 +70,7 @@ def main(argv=None):
     out_f = open(args.output, "wb") if args.output else None
     y4m_f = open(args.y4m, "wb") if args.y4m else None
 
-    dec = Decoder()
+    dec = Decoder(config)
     try:
         import struct
 

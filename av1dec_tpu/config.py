@@ -8,7 +8,7 @@ registry).  Mirrors the CLI surface of a standard AV1 decoder
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
@@ -16,11 +16,10 @@ class DecoderConfig:
     # Host-side entropy decode worker threads (tile-parallel).
     threads: int = 1
 
-    # Device mesh shape for sharded reconstruction, e.g. (2, 4) over
-    # axes ("ty", "tx") — tiles sharded over rows/cols of the mesh.
-    # None => single-device, no sharding.
-    mesh_shape: Optional[Tuple[int, int]] = None
-    mesh_axis_names: Tuple[str, str] = ("ty", "tx")
+    # Column shards over a 1-D ("space",) device mesh for the filter
+    # chain (parallel/sharded_cdef.py); 0 = single device.  Falls back
+    # per frame when the width isn't shard-aligned.
+    space_shards: int = 0
 
     # Apply film grain synthesis at output [SPEC §7.18.3].  References are
     # always grain-free; this only affects emitted frames.

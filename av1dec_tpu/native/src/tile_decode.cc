@@ -238,6 +238,16 @@ int TileDecoder::decode_tile(const uint8_t* data, size_t size, int tile_row,
       if (decode_partition(r, c, sb_size) < 0) return -1;
     }
   }
+  // Backfill MI_CDEF with the final per-64x64 indices: blocks that
+  // decode BEFORE their unit's first non-skip block snapshot a stale -1
+  // (the index applies to the whole 64x64 unit [SPEC §7.15.1]).
+  {
+    int stride = (mi_cols_ + 15) / 16;
+    for (int rr = mi_row_start_; rr < mi_row_end_; rr++)
+      for (int cc = mi_col_start_; cc < mi_col_end_; cc++)
+        plans_->at(MI_CDEF, rr, cc) =
+            (int16_t)cdef_idx_[(rr >> 4) * stride + (cc >> 4)];
+  }
   return 0;
 }
 
@@ -1117,9 +1127,11 @@ void TileDecoder::read_palette_colors_y() {
     if (r_.decode_literal(1)) palette_colors_[0][idx++] = cache[i];
   }
   if (idx < n) {
-    int minBits = seq_.bit_depth - 3;
-    int bits = minBits + (int)r_.decode_literal(2);
+    // first new color precedes the extra-bits field [SPEC §5.11.45]
     palette_colors_[0][idx++] = (int)r_.decode_literal(seq_.bit_depth);
+    int bits = 0;
+    if (idx < n)
+      bits = (seq_.bit_depth - 3) + (int)r_.decode_literal(2);
     while (idx < n) {
       int delta = (int)r_.decode_literal(bits) + 1;
       int v = std::min(palette_colors_[0][idx - 1] + delta,
@@ -1142,9 +1154,11 @@ void TileDecoder::read_palette_colors_uv() {
     if (r_.decode_literal(1)) palette_colors_[1][idx++] = cache[i];
   }
   if (idx < n) {
-    int minBits = seq_.bit_depth - 3;
-    int bits = minBits + (int)r_.decode_literal(2);
+    // first new color precedes the extra-bits field [SPEC §5.11.46]
     palette_colors_[1][idx++] = (int)r_.decode_literal(seq_.bit_depth);
+    int bits = 0;
+    if (idx < n)
+      bits = (seq_.bit_depth - 3) + (int)r_.decode_literal(2);
     while (idx < n) {
       int delta = (int)r_.decode_literal(bits);
       int v = std::min(palette_colors_[1][idx - 1] + delta,
@@ -1158,7 +1172,7 @@ void TileDecoder::read_palette_colors_uv() {
   // V colors [SPEC §5.11.48]: either raw list or signed wraparound deltas
   int maxVal = (1 << seq_.bit_depth) - 1;
   if (r_.decode_literal(1)) {
-    int minBits = seq_.bit_depth - 3;
+    int minBits = seq_.bit_depth - 4;  // V deltas: bd-4 [SPEC §5.11.46]
     int bits = minBits + (int)r_.decode_literal(2);
     palette_colors_[2][0] = (int)r_.decode_literal(seq_.bit_depth);
     for (int i = 1; i < n; i++) {
@@ -1189,7 +1203,14 @@ void TileDecoder::palette_tokens() {
     int ow = std::min(bw, maxX);
     int oh = std::min(bh, maxY);
     std::vector<uint8_t> map((size_t)bh * bw, 0);
-    map[0] = (uint8_t)r_.decode_literal(ceil_log2(n));
+    // first sample is NS(n) coded (non-symmetric uniform) [SPEC §4.10.7]
+    {
+      int w = ceil_log2(n);
+      int m = (1 << w) - n;
+      int v = w > 1 ? (int)r_.decode_literal(w - 1) : 0;
+      map[0] = (uint8_t)(v < m ? v
+                                : (v << 1) - m + (int)r_.decode_literal(1));
+    }
     auto cdf_arr =
         planePair == 0 ? cdf_->palette_y_color : cdf_->palette_uv_color;
     for (int i = 1; i < oh + ow - 1; i++) {

@@ -65,8 +65,9 @@ class DeviceRecon:
     Use `supported()` first; construction assumes an all-intra frame.
     """
 
-    def __init__(self, seq, hdr, plans):
+    def __init__(self, seq, hdr, plans, config=None):
         from av1dec_tpu.pipeline.recon import FrameRecon
+        self.config = config
         self._fr = FrameRecon(seq, hdr, plans)
         self.sch = wf.build_schedule(seq, hdr, plans, self._fr._filter_type)
         self.seq, self.hdr, self.plans = seq, hdr, plans
@@ -295,6 +296,18 @@ class DeviceRecon:
                                        len(planes), self.sch.bd)
         if gates is None:
             return planes
+        n_shards = getattr(self.config, "space_shards", 0) or 0
+        if n_shards > 1 and planes[0].shape[1] % (8 * n_shards) == 0:
+            import jax
+            from jax.sharding import Mesh
+
+            from av1dec_tpu.parallel.sharded_cdef import cdef_sharded
+            devs = jax.devices()
+            if len(devs) >= n_shards:
+                mesh = Mesh(np.asarray(devs[:n_shards]), ("space",))
+                return list(cdef_sharded(
+                    tuple(p.astype(jnp.int32) for p in planes), gates,
+                    self.sch.bd, mesh))
         y_pri, y_sec, uv_pri, uv_sec, damping, subx, suby = gates
         outs = cdef_dev._cdef_all(
             tuple(planes), jnp.asarray(y_pri), jnp.asarray(y_sec),

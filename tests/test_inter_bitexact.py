@@ -17,17 +17,38 @@ sys.path.insert(0, os.path.join(
 
 CASES = [
     "err_resilient",   # default CDFs every frame, all filters
+    "er_nofilt",       # error-resilient, filters off
+    "er_small",        # error-resilient, small frame
     "notmvp",          # CDF chaining, no temporal MVP
+    "neither",         # no warp, no obmc
+    "lowdelay",        # basic low-delay chain
+    "threads1",        # cpu-used 3 variant
+    "switchable",      # switchable interp filters
     "warp",            # warped motion + OBMC + temporal MVP
+    "warponly",        # warped motion isolated
     "obmc",            # overlapped MC incl. small-chroma skip rule
+    "obmconly",        # OBMC isolated
     "compound",        # compound refs, masked/dist-wtd/interintra
     "bframes",         # forward/backward refs, show_existing_frame
     "small_mvp",       # temporal MVP on a small frame
     "tile0",           # multi-tile inter
+    "aq0",             # aq-mode 0 (segmentation off)
+    "mrf3",            # 3 reference frames
     "t160x128",        # geometry edge + intra edge upsample clamp
+    "t192x64",         # wide geometry
+    "w136",            # non-128-multiple width
+    "g128x128",        # full-feature geometry sweep
+    "long128",         # 16-frame CDF/ref chaining
+    "wrap128",         # order-hint wraparound
     "interbd10",       # 10-bit inter
+    "intermono",       # monochrome inter
     "grain",           # film grain synthesis
     "grain10",         # film grain at 10-bit
+    "scaledref",       # scaled references + cdef-idx backfill case
+    "scaledref2",      # scaled references (half-width inter frames)
+    "sres_inter",      # superres in the inter ref loop
+    "qm_inter",        # quantizer matrices on inter frames
+    "screen",          # screen content: palette + intrabc
 ]
 
 

@@ -388,6 +388,7 @@ class AomEncoder:
         monochrome: bool = False,
         end_usage: Optional[int] = None,  # 0=VBR 1=CBR 2=CQ 3=Q
         superres_denom: Optional[int] = None,  # 9..16 (8 = off)
+        resize_denom: Optional[int] = None,    # 9..16 inter frames
     ) -> None:
         a = abi()
         self.w, self.h = w, h
@@ -421,6 +422,14 @@ class AomEncoder:
             set32(a.cfg_rc_end_usage - 20, 1)   # SUPERRES_FIXED
             set32(a.cfg_rc_end_usage - 16, superres_denom)
             set32(a.cfg_rc_end_usage - 12, superres_denom)
+        if resize_denom is not None:
+            # rc_resize_mode/_denominator/_kf_denominator precede the
+            # superres fields in aom_codec_enc_cfg (same struct block).
+            # KF kept full-size (denom 8) so inter frames reference a
+            # larger frame -> scaled-reference MC [SPEC §7.11.3.4].
+            set32(a.cfg_rc_end_usage - 32, 1)   # RESIZE_FIXED
+            set32(a.cfg_rc_end_usage - 28, resize_denom)
+            set32(a.cfg_rc_end_usage - 24, 8)   # keyframes full size
         hbd = bit_depth > 8
         if hbd:
             set32(a.cfg_g_bit_depth, bit_depth)

@@ -13,11 +13,15 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 import numpy as np  # noqa: E402
 import aomffi  # noqa: E402
 from av1dec_tpu.api import decode_ivf  # noqa: E402
+from av1dec_tpu.config import DecoderConfig  # noqa: E402
+
+# correctness oracle runs: NumPy spec pipeline (no device compiles)
+_CFG = DecoderConfig(use_spec_kernels=True)
 
 
 def check(path, verbose=True):
     oracle_frames = aomffi.oracle_decode_ivf(path)
-    ours = decode_ivf(path)
+    ours = decode_ivf(path, config=_CFG)
     ok = True
     if len(ours) != len(oracle_frames):
         print(f"  FRAME COUNT: ours {len(ours)} vs oracle "

@@ -35,6 +35,30 @@ def synth(w, h, t, rng, bd=8):
             np.clip(v, 0, 255).astype(dt) << sh)
 
 
+def synth_screen(w, h, t, rng, bd=8):
+    """Screen-like content: repeated 'glyph' tiles on flat background
+    (drives palette + intra block copy on keyframes)."""
+    glyphs = []
+    g_rng = np.random.default_rng(99)
+    for _ in range(8):
+        g = np.zeros((12, 8), np.int64)
+        g[g_rng.random((12, 8)) > 0.55] = 235
+        glyphs.append(g)
+    y = np.full((h, w), 28, np.int64)
+    for r in range(2, h - 14, 16):
+        for c in range(4, w - 10, 10):
+            y[r:r + 12, c:c + 8] = glyphs[((r // 16) * 7 + c // 10 + t)
+                                          % 8]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    u = np.full((ch, cw), 128, np.int64)
+    v = np.full((ch, cw), 120, np.int64)
+    sh = bd - 8
+    dt = np.uint16 if bd > 8 else np.uint8
+    return (np.clip(y, 0, 255).astype(dt) << sh,
+            np.clip(u, 0, 255).astype(dt) << sh,
+            np.clip(v, 0, 255).astype(dt) << sh)
+
+
 _NOFEAT = [("enable-warped-motion", "0"), ("enable-obmc", "0"),
            ("enable-ref-frame-mvs", "0")]
 
@@ -109,6 +133,19 @@ CASES = {
                        extra=[("enable-cdef", "0"),
                               ("enable-restoration", "0")]),
     "er_small":   dict(w=64, h=64, n=4, cpu=3, er=True),
+    # scaled references: inter frames coded at 2/3 size vs full-size KF
+    "scaledref":  dict(w=192, h=128, n=4, cpu=3, resize_denom=12),
+    "scaledref2": dict(w=192, h=128, n=6, cpu=6, resize_denom=16),
+    # superres on inter frames (horizontal upscale in the ref loop)
+    "sres_inter": dict(w=192, h=128, n=4, cpu=6, superres_denom=12),
+    # quantizer matrices on inter frames
+    "qm_inter":   dict(w=192, h=128, n=4, cpu=6,
+                       extra=[("enable-qm", "1"), ("qm-min", "0"),
+                              ("qm-max", "4")]),
+    # screen content: palette + intrabc on the keyframe
+    "screen":     dict(w=256, h=128, n=3, cpu=6, screen=True,
+                       extra=[("tune-content", "screen"),
+                              ("enable-intrabc", "1")]),
 }
 
 
@@ -150,10 +187,15 @@ def gen_case(name, spec, outdir):
             w, h, bit_depth=bd, cpu_used=spec.get("cpu", 6),
             bitrate_kbps=300, kf_max_dist=9999, lag=spec.get("lag", 0),
             options=spec.get("extra", []),
-            monochrome=spec.get("mono", False))
+            monochrome=spec.get("mono", False),
+            superres_denom=spec.get("superres_denom"),
+            resize_denom=spec.get("resize_denom"))
     pkts = []
     for t in range(n):
-        y, u, v = synth(w, h, t, rng, bd)
+        if spec.get("screen"):
+            y, u, v = synth_screen(w, h, t, rng, bd)
+        else:
+            y, u, v = synth(w, h, t, rng, bd)
         if spec.get("mono"):
             u = v = None
         pkts += enc.encode(y, u, v, pts=t)
