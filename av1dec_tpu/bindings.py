@@ -44,6 +44,11 @@ def _load():
     lib.av1n_plans_shape.restype = C.c_int
     lib.av1n_plans_shape.argtypes = [C.c_void_p, C.c_int,
                                      C.POINTER(C.c_int64)]
+    lib.av1n_wavefront_levels.restype = C.c_int
+    lib.av1n_wavefront_levels.argtypes = [
+        C.c_int] + [C.POINTER(C.c_int32)] * 5 + \
+        [C.POINTER(C.c_uint8)] * 3 + [C.c_int] * 5 + \
+        [C.POINTER(C.c_int32)]
     for name, rt in [("av1n_plans_mi", C.POINTER(C.c_int16)),
                      ("av1n_plans_tx", C.POINTER(C.c_int32)),
                      ("av1n_plans_coeffs", C.POINTER(C.c_int32)),
@@ -163,3 +168,25 @@ class NativeParser:
             self.close()
         except Exception:
             pass
+
+
+def wavefront_levels(plane, x4, y4, w4, h4, ext_above, ext_left, cfl_dep,
+                     mi_rows, mi_cols, sub_x, sub_y, num_planes):
+    """Native ASAP wavefront level DP (see capi av1n_wavefront_levels).
+    Returns (levels int32 [n], n_levels)."""
+    import numpy as np
+    lib = _load()
+    n = len(plane)
+    out = np.zeros(n, np.int32)
+    i32 = [np.ascontiguousarray(a, np.int32)
+           for a in (plane, x4, y4, w4, h4)]
+    u8 = [np.ascontiguousarray(a, np.uint8)
+          for a in (ext_above, ext_left, cfl_dep)]
+    args = [C.c_int(n)]
+    args += [a.ctypes.data_as(C.POINTER(C.c_int32)) for a in i32]
+    args += [a.ctypes.data_as(C.POINTER(C.c_uint8)) for a in u8]
+    args += [C.c_int(v) for v in (mi_rows, mi_cols, sub_x, sub_y,
+                                  num_planes)]
+    args.append(out.ctypes.data_as(C.POINTER(C.c_int32)))
+    n_levels = lib.av1n_wavefront_levels(*args)
+    return out, int(n_levels)

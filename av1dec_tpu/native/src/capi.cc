@@ -410,6 +410,74 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
 
 extern "C" {
 
+
+// Wavefront ASAP level assignment [SURVEY §7.1]: the per-block
+// dependency DP of pipeline/wavefront._level_for, moved to native code
+// (the Python loop dominated the host-side schedule-build cost).
+// g4 grids: one per plane group (luma; chroma shared dims).  For each
+// block in tx-record order: level = 1 + max(above-row window, left-col
+// window, CfL co-located luma), then stamp the block's cells.
+int av1n_wavefront_levels(int n, const int32_t* plane, const int32_t* x4,
+                          const int32_t* y4, const int32_t* w4,
+                          const int32_t* h4, const uint8_t* ext_above,
+                          const uint8_t* ext_left, const uint8_t* cfl_dep,
+                          int mi_rows, int mi_cols, int sub_x, int sub_y,
+                          int num_planes, int32_t* out_levels) {
+  int rows_c = ((mi_rows * 4 >> sub_y) + 3) / 4;
+  int cols_c = ((mi_cols * 4 >> sub_x) + 3) / 4;
+  std::vector<int32_t> g_y((size_t)mi_rows * mi_cols, 0);
+  std::vector<int32_t> g_u, g_v;
+  if (num_planes > 1) {
+    g_u.assign((size_t)rows_c * cols_c, 0);
+    g_v.assign((size_t)rows_c * cols_c, 0);
+  }
+  int max_level = 0;
+  for (int i = 0; i < n; i++) {
+    int pl = plane[i];
+    int32_t* G = pl == 0 ? g_y.data() : pl == 1 ? g_u.data() : g_v.data();
+    int R = pl == 0 ? mi_rows : rows_c;
+    int C = pl == 0 ? mi_cols : cols_c;
+    int bx = x4[i], by = y4[i], bw = w4[i], bh = h4[i];
+    int dep = 0;
+    if (by > 0) {
+      int c0 = bx > 0 ? bx - 1 : 0;
+      int c1 = bx + (ext_above[i] ? 2 * bw : bw) + 1;
+      if (c1 > C) c1 = C;
+      const int32_t* row = G + (size_t)(by - 1) * C;
+      for (int c = c0; c < c1; c++)
+        if (row[c] > dep) dep = row[c];
+    }
+    if (bx > 0) {
+      int r1 = by + (ext_left[i] ? 2 * bh : bh) + 1;
+      if (r1 > R) r1 = R;
+      for (int r = by; r < r1; r++) {
+        int v = G[(size_t)r * C + bx - 1];
+        if (v > dep) dep = v;
+      }
+    }
+    if (cfl_dep[i]) {
+      int ly0 = by << sub_y, lx0 = bx << sub_x;
+      int ly1 = ly0 + (bh << sub_y);
+      int lx1 = lx0 + (bw << sub_x);
+      if (ly1 > mi_rows) ly1 = mi_rows;
+      if (lx1 > mi_cols) lx1 = mi_cols;
+      for (int r = ly0; r < ly1; r++) {
+        const int32_t* row = g_y.data() + (size_t)r * mi_cols;
+        for (int c = lx0; c < lx1; c++)
+          if (row[c] > dep) dep = row[c];
+      }
+    }
+    int L = dep + 1;
+    out_levels[i] = L;
+    if (L > max_level) max_level = L;
+    for (int r = by; r < by + bh && r < R; r++) {
+      int32_t* row = G + (size_t)r * C;
+      for (int c = bx; c < bx + bw && c < C; c++) row[c] = L;
+    }
+  }
+  return max_level;
+}
+
 void* av1n_create() { return new Handle(); }
 
 void av1n_destroy(void* hp) { delete (Handle*)hp; }

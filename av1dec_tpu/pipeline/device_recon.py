@@ -7,9 +7,10 @@ upload of the plan tensors and ONE device->host fetch of the final
 planes.  Frames the device path can't take (inter until it lands on
 device) fall back to the host pipeline.
 
-Blocks are packed into four fixed shape buckets (T in {8, 16, 32, 64})
-with per-lane (w, h) data and power-of-two capacities so the device
-executor's jit key is stable across the frames of a stream
+Blocks are packed into two fixed shape buckets (T in {16, 64}) with
+per-lane (w, h) data and power-of-two capacities, and the level scan
+runs in fixed-size chunks, so the executor's jit key is stable across
+the frames of a stream (and small enough to compile fast)
 [SURVEY §7.1/§7.3: entropy/pixel split, wavefront batching].
 """
 
@@ -22,7 +23,8 @@ from av1dec_tpu.ops.spec import dequant, itx
 from av1dec_tpu.pipeline import wavefront as wf
 
 TX_DIMS = itx.TX_DIMS
-BUCKETS = (8, 16, 32, 64)
+BUCKETS = (16, 64)
+FLAT_PAD = 64  # tail pad so T-wide row windows never cross the end
 _DEV_F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 
 
@@ -31,21 +33,22 @@ def _pow2(n, lo=1):
 
 
 def _bucket_for(w, h):
-    return _pow2(max(w, h), 8)
+    return 16 if max(w, h) <= 16 else 64
 
 
 # Monotonic per-geometry capacity cache: all device array extents are
 # rounded up to powers of two AND to the largest extent seen so far for
 # this frame geometry, so the executor's jit key converges after the
 # first frame (or two) of a stream instead of recompiling per frame.
+# Bench/batch callers pre-warm it across a whole stream (warm_caps) so
+# the key is stable from the first device dispatch.
 _CAPS = {}
 
 
-def _caps_for(sch):
+def _caps_for(sch, batch=1):
     key = (sch.flat_len, sch.bd, sch.sub_x, sch.sub_y,
-           sch.enable_edge_filter)
+           sch.enable_edge_filter, batch)
     return _CAPS.setdefault(key, {
-        "L": 32,
         "B": dict.fromkeys(BUCKETS, 8),    # lanes per level window
         "N": dict.fromkeys(BUCKETS, 8),    # packed rows
         "R": dict.fromkeys(BUCKETS, 1),    # residual slots
@@ -57,6 +60,21 @@ def _cap(caps, field, t, needed):
     v = max(caps[field][t], _pow2(needed, caps[field][t]))
     caps[field][t] = v
     return v
+
+
+def _pad_rows(arr, n_total):
+    """Pad packed lane rows to n_total with inert lanes (OOB-safe)."""
+    pad = np.zeros((max(0, n_total - len(arr)), len(_DEV_FIELDS)),
+                   np.int32)
+    pad[:, _DEV_F["res_idx"]] = -1
+    pad[:, _DEV_F["pal_idx"]] = -1
+    pad[:, _DEV_F["above_case"]] = 2
+    pad[:, _DEV_F["left_case"]] = 2
+    pad[:, _DEV_F["corner_case"]] = 3
+    pad[:, _DEV_F["dc_case"]] = 3
+    pad[:, _DEV_F["w"]] = pad[:, _DEV_F["h"]] = 4
+    pad[:, _DEV_F["lw"]] = pad[:, _DEV_F["lh"]] = 2
+    return np.concatenate([arr[:n_total], pad], axis=0)
 
 
 class DeviceRecon:
@@ -99,7 +117,7 @@ class DeviceRecon:
         return True
 
     # -- residuals on device ---------------------------------------------
-    def _residuals_device(self, jnp, coeffs_dev):
+    def _residuals_device(self, jnp, coeffs_dev, caps=None):
         """Returns {T: [R, T, T] int32 device arrays} (R >= 1, pow2)."""
         from av1dec_tpu.ops.kernels.itx import residual_bucket
         from av1dec_tpu.ops.tables_data import AC_Q, DC_Q
@@ -119,7 +137,8 @@ class DeviceRecon:
                 rec = plans.tx[i]
                 buckets.setdefault((int(rec[3]), int(rec[4])), []).append(
                     (key, slot, i))
-        caps = _caps_for(sch)
+        if caps is None:
+            caps = _caps_for(sch)
         out = {t: jnp.zeros((_cap(caps, "R", t, self._res_tot[t]), t, t),
                             jnp.int32)
                for t in BUCKETS}
@@ -187,20 +206,16 @@ class DeviceRecon:
         return out
 
     # -- schedule packing --------------------------------------------------
-    def _pack_buckets(self, jnp):
-        """Regroup the per-(w, h) schedule classes into the four fixed
-        shape buckets, remapping residual/palette slots to bucket-global
-        indices.  Returns (buckets config, inputs, pal tensors, Lp)."""
+    def _bucket_rows(self, t):
+        """All of this frame's lanes for bucket t as (rows [N, F] int32,
+        levels [N]) with bucket-global residual/palette slot indices."""
         sch = self.sch
-        caps = _caps_for(sch)
-        caps["L"] = max(caps["L"], _pow2(sch.n_levels, 32))
-        Lp = caps["L"]
         FD = len(_DEV_FIELDS)
-        rows_by_t = {t: [] for t in BUCKETS}
-        lvls_by_t = {t: [] for t in BUCKETS}
+        rows, lvls = [], []
         for key, bc in sorted(sch.classes.items()):
             w, h = key
-            t = _bucket_for(w, h)
+            if _bucket_for(w, h) != t:
+                continue
             N = len(bc.levels_sorted)
             arr = np.zeros((N, FD), np.int32)
             for f, a in bc.packed.items():
@@ -215,23 +230,40 @@ class DeviceRecon:
             arr[:, _DEV_F["h"]] = h
             arr[:, _DEV_F["lw"]] = int(np.log2(w))
             arr[:, _DEV_F["lh"]] = int(np.log2(h))
-            rows_by_t[t].append(arr)
-            lvls_by_t[t].append(bc.levels_sorted)
+            rows.append(arr)
+            lvls.append(bc.levels_sorted)
+        if rows:
+            return (np.concatenate(rows, axis=0),
+                    np.concatenate(lvls).astype(np.int64))
+        return np.zeros((0, FD), np.int32), np.zeros(0, np.int64)
 
+    def _palette_tensor(self, t, P):
+        sch = self.sch
+        pt = np.zeros((P, t, t), np.int32)
+        for key, preds in sch.pal_preds.items():
+            if _bucket_for(*key) != t:
+                continue
+            off = self._pal_off[key]
+            w, h = key
+            for k, pr in enumerate(preds):
+                pt[off + k, :h, :w] = pr
+        return pt
+
+    def _pack_buckets(self, jnp):
+        """Regroup the per-(w, h) schedule classes into the fixed shape
+        buckets, remapping residual/palette slots to bucket-global
+        indices.  Returns (buckets config, inputs, pal tensors)."""
+        caps = _caps_for(self.sch)
         buckets = []
         inputs = {}
         pal = {}
         for t in BUCKETS:
-            if rows_by_t[t]:
-                arr = np.concatenate(rows_by_t[t], axis=0)
-                lv = np.concatenate(lvls_by_t[t])
-                order = np.argsort(lv, kind="stable")
-                arr, lv = arr[order], lv[order]
-            else:
-                arr = np.zeros((0, FD), np.int32)
-                lv = np.zeros(0, np.int64)
-            starts = np.zeros(Lp, np.int32)
-            counts = np.zeros(Lp, np.int32)
+            arr, lv = self._bucket_rows(t)
+            order = np.argsort(lv, kind="stable")
+            arr, lv = arr[order], lv[order]
+            L = self.sch.n_levels
+            starts = np.zeros(L, np.int32)
+            counts = np.zeros(L, np.int32)
             if len(lv):
                 uniq, s_idx, cnt = np.unique(lv, return_index=True,
                                              return_counts=True)
@@ -239,31 +271,12 @@ class DeviceRecon:
                 counts[uniq - 1] = cnt
             Bmax = _cap(caps, "B", t, counts.max() if len(lv) else 0)
             n_cap = _cap(caps, "N", t, len(arr))
-            pad = np.zeros((n_cap - len(arr) + Bmax, FD), np.int32)
-            pad[:, _DEV_F["res_idx"]] = -1
-            pad[:, _DEV_F["pal_idx"]] = -1
-            pad[:, _DEV_F["above_case"]] = 2
-            pad[:, _DEV_F["left_case"]] = 2
-            pad[:, _DEV_F["corner_case"]] = 3
-            pad[:, _DEV_F["dc_case"]] = 3
-            pad[:, _DEV_F["w"]] = pad[:, _DEV_F["h"]] = 4
-            pad[:, _DEV_F["lw"]] = pad[:, _DEV_F["lh"]] = 2
-            packed = np.concatenate([arr, pad], axis=0)
+            packed = _pad_rows(arr, n_cap + Bmax)
             buckets.append((t, int(Bmax)))
-            inputs[t] = (jnp.asarray(packed), jnp.asarray(starts),
-                         jnp.asarray(counts))
-            # palette tensor, padded into the bucket tile
+            inputs[t] = (jnp.asarray(packed), starts, counts)
             P = _cap(caps, "P", t, self._pal_tot[t])
-            pt = np.zeros((P, t, t), np.int32)
-            for key, preds in sch.pal_preds.items():
-                if _bucket_for(*key) != t:
-                    continue
-                off = self._pal_off[key]
-                w, h = key
-                for k, pr in enumerate(preds):
-                    pt[off + k, :h, :w] = pr
-            pal[t] = jnp.asarray(pt)
-        return tuple(buckets), inputs, pal, Lp
+            pal[t] = jnp.asarray(self._palette_tensor(t, P))
+        return tuple(buckets), inputs, pal
 
     def run_device(self):
         """Returns the final planes as DEVICE arrays (async)."""
@@ -273,22 +286,27 @@ class DeviceRecon:
         coeffs_dev = jnp.asarray(
             np.asarray(self.plans.coeffs, np.int32))
         res = self._residuals_device(jnp, coeffs_dev)
-        buckets, inputs, pal, Lp = self._pack_buckets(jnp)
+        buckets, inputs, pal = self._pack_buckets(jnp)
         config = (buckets, sch.bd, sch.sub_x, sch.sub_y,
-                  sch.enable_edge_filter, Lp)
-        frame0 = jnp.zeros(sch.flat_len, jnp.int32)
+                  sch.enable_edge_filter)
+        frame0 = jnp.zeros(sch.flat_len + FLAT_PAD, jnp.int32)
         frame = run_wavefront(frame0, inputs, res, pal, config)
-        planes = []
-        for p in range(sch.num_planes):
-            ha, wa = sch.alloc_dims[p]
-            vh, vw = sch.valid_dims[p]
-            b = sch.plane_base[p]
-            planes.append(frame[b: b + ha * wa].reshape(ha, wa)[:vh, :vw])
+        planes = self._slice_planes(frame, 0)
         # CDEF on device (same dispatch chain, no host round trip)
         planes = self._cdef_device(jnp, planes)
         # narrow for the d2h transfer (link bandwidth dominates)
         odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
         return [p.astype(odt) for p in planes]
+
+    def _slice_planes(self, frame, base):
+        sch = self.sch
+        planes = []
+        for p in range(sch.num_planes):
+            ha, wa = sch.alloc_dims[p]
+            vh, vw = sch.valid_dims[p]
+            b = base + sch.plane_base[p]
+            planes.append(frame[b: b + ha * wa].reshape(ha, wa)[:vh, :vw])
+        return planes
 
     def _cdef_device(self, jnp, planes):
         from av1dec_tpu.ops.kernels import cdef as cdef_dev
@@ -322,3 +340,86 @@ class DeviceRecon:
         planes = self.run_device()
         fetched = jax.device_get(planes)
         return [np.asarray(p).astype(np.int64) for p in fetched]
+
+
+def run_device_batch(drs):
+    """Decode K same-geometry intra frames in ONE wavefront run.
+
+    Frames are independent, so level i of every frame executes at scan
+    step i — the per-level dispatch overhead (the dominant cost at
+    1080p, where levels carry only tens of lanes) is amortized K ways.
+    Lanes carry per-frame base offsets into a [K * (flat_len + pad)]
+    buffer; residual/palette tensors are concatenated per bucket with
+    uniform per-frame capacity so slot remapping is a constant stride.
+
+    Returns a list (per frame) of device plane lists (async).
+    """
+    import jax.numpy as jnp
+
+    from av1dec_tpu.ops.kernels.wavefront import run_wavefront
+
+    K = len(drs)
+    sch0 = drs[0].sch
+    caps = _caps_for(sch0, batch=True)
+    flat = sch0.flat_len + FLAT_PAD
+    Rcap = {t: _cap(caps, "R", t, max(dr._res_tot[t] for dr in drs))
+            for t in BUCKETS}
+    Pcap = {t: _cap(caps, "P", t, max(dr._pal_tot[t] for dr in drs))
+            for t in BUCKETS}
+
+    res_f = []
+    for dr in drs:
+        coeffs_dev = jnp.asarray(np.asarray(dr.plans.coeffs, np.int32))
+        res_f.append(dr._residuals_device(jnp, coeffs_dev, caps=caps))
+    res = {t: jnp.concatenate([rf[t] for rf in res_f], axis=0)
+           for t in BUCKETS}
+    pal = {t: jnp.asarray(np.concatenate(
+        [dr._palette_tensor(t, Pcap[t]) for dr in drs], axis=0))
+        for t in BUCKETS}
+
+    L = max(dr.sch.n_levels for dr in drs)
+    buckets = []
+    inputs = {}
+    for t in BUCKETS:
+        rows_all, lv_all = [], []
+        for f, dr in enumerate(drs):
+            arr, lv = dr._bucket_rows(t)
+            arr = arr.copy()
+            arr[:, _DEV_F["base"]] += f * flat
+            ridx = arr[:, _DEV_F["res_idx"]]
+            arr[:, _DEV_F["res_idx"]] = np.where(
+                ridx >= 0, ridx + f * Rcap[t], -1)
+            pidx = arr[:, _DEV_F["pal_idx"]]
+            arr[:, _DEV_F["pal_idx"]] = np.where(
+                pidx >= 0, pidx + f * Pcap[t], -1)
+            rows_all.append(arr)
+            lv_all.append(lv)
+        arr = np.concatenate(rows_all, axis=0)
+        lv = np.concatenate(lv_all)
+        order = np.argsort(lv, kind="stable")
+        arr, lv = arr[order], lv[order]
+        starts = np.zeros(L, np.int32)
+        counts = np.zeros(L, np.int32)
+        if len(lv):
+            uniq, s_idx, cnt = np.unique(lv, return_index=True,
+                                         return_counts=True)
+            starts[uniq - 1] = s_idx
+            counts[uniq - 1] = cnt
+        Bmax = _cap(caps, "B", t, counts.max() if len(lv) else 0)
+        n_cap = _cap(caps, "N", t, len(arr))
+        packed = _pad_rows(arr, n_cap + Bmax)
+        buckets.append((t, int(Bmax)))
+        inputs[t] = (jnp.asarray(packed), starts, counts)
+
+    config = (tuple(buckets), sch0.bd, sch0.sub_x, sch0.sub_y,
+              sch0.enable_edge_filter)
+    frame0 = jnp.zeros(K * flat, jnp.int32)
+    frame = run_wavefront(frame0, inputs, res, pal, config)
+
+    outs = []
+    for f, dr in enumerate(drs):
+        planes = dr._slice_planes(frame, f * flat)
+        planes = dr._cdef_device(jnp, planes)
+        odt = jnp.uint8 if sch0.bd == 8 else jnp.uint16
+        outs.append([p.astype(odt) for p in planes])
+    return outs

@@ -147,7 +147,7 @@ def _level_for(g4, plane, x4, y4, w4, h4, ext_above, ext_left, cfl_dep,
     return L
 
 
-def build_schedule(seq, hdr, plans, filter_type_fn):
+def build_schedule_ref(seq, hdr, plans, filter_type_fn):
     """Build the wavefront schedule for an ALL-INTRA frame.
 
     `filter_type_fn(mi_r, mi_c, plane, have_above, have_left)` supplies
@@ -328,6 +328,9 @@ def compute_residuals(sch):
     bucket as in FrameRecon._precompute_residuals)."""
     plans, hdr, bd = sch.plans, sch.hdr, sch.bd
     q = hdr["quant"]
+    use_qm = bool(q.get("using_qmatrix"))
+    qm_by_plane = (q.get("qm_y", 15), q.get("qm_u", 15),
+                   q.get("qm_v", 15))
     out = {key: np.zeros((n, key[1], key[0]), np.int32)
            for key, n in sch.res_count.items()}
     # bucket rows of each (w,h) tensor by (tsz, tt)
@@ -351,6 +354,9 @@ def compute_residuals(sch):
         dcd = np.zeros(B, np.int64)
         acd = np.zeros(B, np.int64)
         lossless = np.zeros(B, bool)
+        qml = np.full(B, 15, np.int64)
+        qmc = np.zeros(B, bool)
+        qm_ok = use_qm and tt < 9  # qm only for 2-D transforms
         for b, (key, slot, i) in enumerate(items):
             rec = plans.tx[i]
             off = int(rec[6])
@@ -366,14 +372,20 @@ def compute_residuals(sch):
                 dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
             else:
                 dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
+            if qm_ok and not lossless[b]:
+                qml[b] = qm_by_plane[plane]
+                qmc[b] = plane >= 1
         if tsz == 19 or lossless.any():
+            from av1dec_tpu.ops.qm_data import qm_row
             for b, (key, slot, i) in enumerate(items):
                 dq = dequant.dequant_block(
                     levels[b], tsz, int(qidx[b]), bd,
-                    int(dcd[b]), int(acd[b]), bool(lossless[b]))
+                    int(dcd[b]), int(acd[b]), bool(lossless[b]),
+                    qm=qm_row(int(qml[b]), bool(qmc[b]), w, h))
                 out[key][slot] = itx.inverse_transform(dq, tsz, tt, bd)
             continue
-        dq = dequant.dequant_batch(levels, tsz, qidx, bd, dcd, acd)
+        dq = dequant.dequant_batch(levels, tsz, qidx, bd, dcd, acd,
+                                   qm_levels=qml, qm_chroma=qmc)
         res = itx.inverse_transform_lanes(dq, tsz, tt, bd)
         for b, (key, slot, i) in enumerate(items):
             out[key][slot] = res[b]
@@ -753,3 +765,274 @@ class WavefrontRecon:
             fr._alloc[p][...] = frame[b: b + ha * wa].reshape(ha, wa)
         fr._postfilter()
         return fr.planes
+
+
+# ---------------------------------------------------------------------------
+# Vectorized schedule builder (numpy field assembly + native level DP)
+# ---------------------------------------------------------------------------
+
+_W_LUT = np.array([TX_DIMS[t][0] for t in range(19)] + [4], np.int32)
+_H_LUT = np.array([TX_DIMS[t][1] for t in range(19)] + [4], np.int32)
+_M2A = np.array(intra.MODE_TO_ANGLE + [0], np.int32)
+
+# strength/upsample LUTs over (filter_type, blk_wh, |delta|)
+_STR_LUT = None
+_UP_LUT = None
+
+
+def _edge_luts():
+    global _STR_LUT, _UP_LUT
+    if _STR_LUT is None:
+        s = np.zeros((2, 129, 181), np.int8)
+        u = np.zeros((2, 129, 181), np.int8)
+        for ft in range(2):
+            for wh in range(129):
+                for d in range(181):
+                    s[ft, wh, d] = intra.intra_edge_filter_strength(
+                        wh // 2, wh - wh // 2, ft, d)
+                    u[ft, wh, d] = intra.use_intra_edge_upsample(
+                        wh // 2, wh - wh // 2, ft, d)
+        _STR_LUT, _UP_LUT = s, u
+    return _STR_LUT, _UP_LUT
+
+
+def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
+    """Vectorized build_schedule: same Schedule, numpy field assembly
+    over the whole tx-record array + native ASAP level DP
+    (bindings.wavefront_levels).  `filter_type_fn` is unused (the
+    neighbor-smoothness filter type is computed from the mi grids
+    directly); kept for signature compatibility."""
+    if plans is None or plans.grid("is_inter").any() or \
+            plans.grid("intrabc").any():
+        return None
+    from av1dec_tpu.bindings import wavefront_levels
+    sch = Schedule(seq, hdr, plans)
+    mi_cols, mi_rows = plans.mi_cols, plans.mi_rows
+    tx = np.asarray(plans.tx, np.int64)
+    N = len(tx)
+    if N == 0:
+        return None
+    plane = tx[:, 0].astype(np.int32)
+    x4, y4 = tx[:, 1].astype(np.int32), tx[:, 2].astype(np.int32)
+    tsz, tt, eob = tx[:, 3], tx[:, 4], tx[:, 5]
+    mi, avail = tx[:, 7], tx[:, 8]
+    w = _W_LUT[tsz]
+    h = _H_LUT[tsz]
+    mi_r, mi_c = (mi // mi_cols).astype(np.int64), \
+        (mi % mi_cols).astype(np.int64)
+    x, y = x4 * 4, y4 * 4
+    have_left = (avail & 1) != 0
+    have_above = (avail & 2) != 0
+    have_ar = (avail & 4) != 0
+    have_bl = (avail & 8) != 0
+
+    F = {f: np.zeros(N, np.int64) for f in _SCALAR_FIELDS}
+    F["x"], F["y"], F["plane"] = x, y, plane
+    pb = np.asarray(sch.plane_base + [0] * (3 - len(sch.plane_base)))
+    st = np.asarray([a[1] for a in sch.alloc_dims] + [0] * 3)[:3]
+    vw = np.asarray([a[1] for a in sch.valid_dims] + [0] * 3)[:3]
+    vh = np.asarray([a[0] for a in sch.valid_dims] + [0] * 3)[:3]
+    F["base"] = pb[plane]
+    F["stride"] = st[plane]
+    max_x, max_y = vw[plane] - 1, vh[plane] - 1
+    F["have_above"] = have_above.astype(np.int64)
+    F["have_left"] = have_left.astype(np.int64)
+    F["res_idx"] = np.full(N, -1)
+    F["pal_idx"] = np.full(N, -1)
+    F["fi_mode"] = np.full(N, -1)
+
+    F["above_case"] = np.where(have_above, 0, np.where(have_left, 1, 2))
+    F["above_lim"] = np.where(
+        have_above,
+        np.minimum(max_x, x + np.where(have_ar, 2 * w, w) - 1), 0)
+    F["left_case"] = np.where(have_left, 0, np.where(have_above, 1, 2))
+    F["left_lim"] = np.where(
+        have_left,
+        np.minimum(max_y, y + np.where(have_bl, 2 * h, h) - 1), 0)
+    F["corner_case"] = np.where(
+        have_above & have_left, 0,
+        np.where(have_above, 1, np.where(have_left, 2, 3)))
+
+    # grids gathered at the block's mi cell
+    g = plans.grid
+    mode = np.where(plane == 0, g("mode")[mi_r, mi_c],
+                    g("uv_mode")[mi_r, mi_c]).astype(np.int64)
+    angle = np.where(plane == 0, g("angle_y")[mi_r, mi_c],
+                     g("angle_uv")[mi_r, mi_c]).astype(np.int64)
+    fi_mode = np.where(plane == 0, g("filter_intra")[mi_r, mi_c],
+                       -1).astype(np.int64)
+    use_pal = np.where(plane == 0, g("palette_y")[mi_r, mi_c],
+                       g("palette_uv")[mi_r, mi_c]) > 0
+    is_cfl = (plane > 0) & (mode == UV_CFL_PRED)
+
+    mf_pal = use_pal
+    mf_fi = ~mf_pal & (fi_mode >= 0)
+    mf_dc = ~mf_pal & ~mf_fi & (is_cfl | (mode == intra.DC_PRED))
+    mf_smooth = ~mf_pal & ~mf_fi & ~mf_dc & \
+        (mode >= intra.SMOOTH_PRED) & (mode <= intra.SMOOTH_H_PRED)
+    mf_paeth = ~mf_pal & ~mf_fi & ~mf_dc & ~mf_smooth & \
+        (mode == intra.PAETH_PRED)
+    mf_dirish = ~(mf_pal | mf_fi | mf_dc | mf_smooth | mf_paeth)
+
+    p_angle = np.where(mf_dirish,
+                       _M2A[np.minimum(mode, 12)] +
+                       angle * intra.ANGLE_STEP, 0)
+    mf_v = mf_dirish & (p_angle == 90)
+    mf_h = mf_dirish & (p_angle == 180)
+    mf_dir = mf_dirish & ~mf_v & ~mf_h
+
+    fam = np.zeros(N, np.int64)
+    fam[mf_pal] = MF_PAL
+    fam[mf_fi] = MF_FI
+    fam[mf_dc] = MF_DC
+    fam[mf_smooth] = np.where(
+        mode[mf_smooth] == intra.SMOOTH_PRED, MF_SMOOTH,
+        np.where(mode[mf_smooth] == intra.SMOOTH_V_PRED, MF_SMOOTH_V,
+                 MF_SMOOTH_H))
+    fam[mf_paeth] = MF_PAETH
+    fam[mf_v] = MF_V
+    fam[mf_h] = MF_H
+    fam[mf_dir] = MF_DIR
+    F["mode_family"] = fam
+    F["p_angle"] = p_angle
+    F["fi_mode"] = np.where(mf_fi, fi_mode, -1)
+
+    # DC case + CfL
+    F["dc_case"] = np.where(
+        ~mf_dc, 0,
+        np.where(have_above & have_left, 0,
+                 np.where(have_above, 1, np.where(have_left, 2, 3))))
+    if is_cfl.any():
+        from av1dec_tpu.pipeline.recon import _alpha
+        signs = g("cfl_signs")[mi_r, mi_c].astype(np.int64)
+        aidx = g("cfl_alpha_idx")[mi_r, mi_c].astype(np.int64)
+        sgn = np.where(plane == 1, (signs + 1) // 3, (signs + 1) % 3)
+        mag = np.where(plane == 1, (aidx >> 4) & 15, aidx & 15) + 1
+        alpha = np.where(sgn == 0, 0, np.where(sgn == 1, -mag, mag))
+        F["cfl_alpha"] = np.where(is_cfl & mf_dc, alpha, 0)
+        F["cfl_maxx"] = np.where(
+            is_cfl & mf_dc,
+            np.minimum((x + w) << sch.sub_x, mi_cols * 4) -
+            (1 << sch.sub_x), 0)
+        F["cfl_maxy"] = np.where(
+            is_cfl & mf_dc,
+            np.minimum((y + h) << sch.sub_y, mi_rows * 4) -
+            (1 << sch.sub_y), 0)
+
+    # directional: edge filter params + gradients
+    if mf_dir.any():
+        size = w + h
+        if sch.enable_edge_filter:
+            F["corner_filt"] = (mf_dir & (p_angle > 90) &
+                                (p_angle < 180) & (size >= 24)) \
+                .astype(np.int64)
+            # neighbor-smoothness filter type [SPEC §7.11.2.8]
+            sm_y = np.isin(g("mode"), (9, 10, 11)) & \
+                (g("is_inter") == 0)
+            sm_uv = np.isin(g("uv_mode"), (9, 10, 11)) & \
+                (g("is_inter") == 0)
+
+            def smooth_at(r, c, chroma):
+                ok = (r >= 0) & (c >= 0) & (r < mi_rows) & (c < mi_cols)
+                rr = np.clip(r, 0, mi_rows - 1)
+                cc = np.clip(c, 0, mi_cols - 1)
+                v = np.where(chroma, sm_uv[rr, cc], sm_y[rr, cc])
+                return np.where(ok, v, False)
+
+            chroma = plane > 0
+            a_r = np.where(chroma, (mi_r & ~sch.sub_y) - 1, mi_r - 1)
+            a_c = np.where(chroma, mi_c | sch.sub_x, mi_c)
+            l_r = np.where(chroma, mi_r | sch.sub_y, mi_r)
+            l_c = np.where(chroma, (mi_c & ~sch.sub_x) - 1, mi_c - 1)
+            ftype = ((have_above & smooth_at(a_r, a_c, chroma)) |
+                     (have_left & smooth_at(l_r, l_c, chroma))) \
+                .astype(np.int64)
+            sLUT, uLUT = _edge_luts()
+            d_a = np.abs(p_angle - 90)
+            d_l = np.abs(p_angle - 180)
+            whc = np.minimum(size, 128)
+            F["str_above"] = np.where(
+                mf_dir & have_above, sLUT[ftype, whc, d_a], 0)
+            F["npx_above"] = np.where(
+                mf_dir & have_above,
+                np.minimum(w, max_x - x + 1) +
+                np.where(p_angle < 90, h, 0) + 1, 0)
+            F["str_left"] = np.where(
+                mf_dir & have_left, sLUT[ftype, whc, d_l], 0)
+            F["npx_left"] = np.where(
+                mf_dir & have_left,
+                np.minimum(h, max_y - y + 1) +
+                np.where(p_angle > 180, w, 0) + 1, 0)
+            F["up_above"] = np.where(mf_dir, uLUT[ftype, whc, d_a], 0)
+            F["up_left"] = np.where(mf_dir, uLUT[ftype, whc, d_l], 0)
+        dr = np.asarray(DR_INTRA_DERIVATIVE, np.int64)
+        nd = len(dr) - 1
+        pa = np.clip(p_angle, 0, 270)
+
+        def drl(idx):
+            return dr[np.clip(idx, 0, nd)]
+
+        F["dx"] = np.where(
+            mf_dir & (p_angle < 90), drl(pa),
+            np.where(mf_dir & (p_angle < 180), drl(np.abs(180 - pa)), 0))
+        F["dy"] = np.where(
+            mf_dir & (p_angle > 90) & (p_angle < 180),
+            drl(np.abs(pa - 90)),
+            np.where(mf_dir & (p_angle > 180), drl(np.abs(270 - pa)), 0))
+
+    # levels via the native DP
+    ext_above = mf_dir & (p_angle < 90)
+    ext_left = mf_dir & (p_angle > 180)
+    levels, n_levels = wavefront_levels(
+        plane, x4, y4, w // 4, h // 4, ext_above, ext_left, is_cfl,
+        mi_rows, mi_cols, sch.sub_x, sch.sub_y, sch.num_planes)
+    sch.n_levels = n_levels
+    levels = levels.astype(np.int64)
+
+    # per-class slot assignment (tx order within class, like the scalar
+    # builder) + class assembly
+    class_key = (w.astype(np.int64) << 8) | h.astype(np.int64)
+    for key_packed in np.unique(class_key):
+        kw, kh = int(key_packed) >> 8, int(key_packed) & 0xFF
+        key = (kw, kh)
+        sel = np.where(class_key == key_packed)[0]
+        # residual slots
+        res_sel = sel[eob[sel] > 0]
+        F["res_idx"][res_sel] = np.arange(len(res_sel))
+        if len(res_sel):
+            sch.res_count[key] = len(res_sel)
+            sch.res_recs[key] = res_sel.tolist()
+        # palette predictions (rare: scalar loop)
+        pal_sel = sel[use_pal[sel]]
+        if len(pal_sel):
+            from av1dec_tpu.pipeline.recon import FrameRecon
+            fr = FrameRecon(seq, hdr, plans)
+            F["pal_idx"][pal_sel] = np.arange(len(pal_sel))
+            preds = []
+            for i in pal_sel:
+                preds.append(fr._palette_pred(
+                    int(plane[i]), int(mi_r[i]), int(mi_c[i]),
+                    int(x[i]), int(y[i]), kw, kh).astype(np.int32))
+            sch.pal_preds[key] = preds
+        # packed class, sorted by level
+        lv = levels[sel]
+        order = np.argsort(lv, kind="stable")
+        sidx = sel[order]
+        bc = BlockClass(kw, kh)
+        bc.packed = {f: np.ascontiguousarray(F[f][sidx])
+                     for f in _SCALAR_FIELDS}
+        bc.levels_sorted = lv[order]
+        bc.level_slices = {}
+        if len(sidx):
+            uniq, starts = np.unique(bc.levels_sorted, return_index=True)
+            ends = np.append(starts[1:], len(sidx))
+            for u_, s_, e_ in zip(uniq, starts, ends):
+                bc.level_slices[int(u_)] = (int(s_), int(e_))
+        sch.classes[key] = bc
+    return sch
+
+
+# the vectorized builder is the production path; the scalar builder is
+# kept as the structural reference (tests/test_schedule_fast.py asserts
+# field-exact equivalence per stream)
+build_schedule = build_schedule_fast

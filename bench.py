@@ -65,39 +65,43 @@ def ensure_stream():
 
 
 def decode_stream_pipelined(datas, fetch=True):
-    """Decode all frames: device path where supported, host fallback.
-    Returns list of per-frame plane lists (host int64 arrays)."""
+    """Decode all frames: device-supported frames run as ONE batched
+    wavefront (levels lockstep across frames — amortizes per-level
+    dispatch), host pipeline for the rest.  Returns list of per-frame
+    plane lists (host int64 arrays)."""
     import jax
     import numpy as np
 
     from av1dec_tpu.bindings import NativeParser
-    from av1dec_tpu.pipeline.device_recon import DeviceRecon
+    from av1dec_tpu.pipeline.device_recon import (DeviceRecon,
+                                                  run_device_batch)
     from av1dec_tpu.pipeline.recon import FrameRecon
 
     parser = NativeParser(threads=THREADS)
-    pending = []  # (device plane list | host plane list, is_device)
+    slots = []        # frame order: ("dev", batch_idx) | ("host", planes)
+    dev_frames = []
     for d in datas:
         for hdr, plans in parser.parse_tu(d, with_plans=True):
             dr = DeviceRecon(parser.seq, hdr, plans)
             if dr.supported():
-                pending.append((dr.run_device(), True))
+                slots.append(("dev", len(dev_frames)))
+                dev_frames.append(dr)
             else:
-                pending.append((FrameRecon(parser.seq, hdr, plans).run(),
-                                False))
+                slots.append(
+                    ("host", FrameRecon(parser.seq, hdr, plans).run()))
+    dev_out = run_device_batch(dev_frames) if dev_frames else []
     if not fetch:
-        # drain the device queue without converting
-        for planes, is_dev in pending:
-            if is_dev:
-                for p in planes:
-                    p.block_until_ready()
+        for planes in dev_out:
+            for p in planes:
+                p.block_until_ready()
         return None
     out = []
-    for planes, is_dev in pending:
-        if is_dev:
+    for kind, v in slots:
+        if kind == "dev":
             out.append([np.asarray(p).astype(np.int64)
-                        for p in jax.device_get(planes)])
+                        for p in jax.device_get(dev_out[v])])
         else:
-            out.append([np.asarray(p) for p in planes])
+            out.append([np.asarray(p) for p in v])
     return out
 
 

@@ -15,38 +15,39 @@ sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     import jax
 
     import aomffi
     import bench
     from av1dec_tpu.bindings import NativeParser
-    from av1dec_tpu.pipeline.device_recon import DeviceRecon
+    from av1dec_tpu.pipeline.device_recon import (DeviceRecon,
+                                                  run_device_batch)
 
     bench.ensure_stream()
     datas = [d for _, d in aomffi.read_ivf(bench.STREAM)][:n]
     print(f"device={jax.devices()[0]}", flush=True)
     parser = NativeParser(threads=2)
-    frames = []
     t0 = time.time()
+    drs = []
     for d in datas:
         for hdr, plans in parser.parse_tu(d, with_plans=True):
-            frames.append((hdr, plans))
-    print(f"entropy: {(time.time() - t0) / len(frames) * 1000:.0f} "
-          f"ms/frame", flush=True)
-
-    for it in range(3):
-        for fi, (hdr, plans) in enumerate(frames):
-            t0 = time.time()
             dr = DeviceRecon(parser.seq, hdr, plans)
             assert dr.supported()
-            t_sched = time.time() - t0
-            t0 = time.time()
-            planes = dr.run_device()
+            drs.append(dr)
+    print(f"entropy+sched: {(time.time() - t0) / len(drs) * 1000:.0f} "
+          f"ms/frame", flush=True)
+
+    for it in range(4):
+        t0 = time.time()
+        outs = run_device_batch(drs)
+        for planes in outs:
             for p in planes:
                 p.block_until_ready()
-            print(f"iter {it} frame {fi}: sched {t_sched * 1000:.0f} ms, "
-                  f"device {(time.time() - t0) * 1000:.0f} ms", flush=True)
+        dt = time.time() - t0
+        print(f"iter {it}: batch {dt * 1000:.0f} ms "
+              f"({dt / len(drs) * 1000:.0f} ms/frame, "
+              f"{len(drs) / dt:.2f} fps)", flush=True)
 
 
 if __name__ == "__main__":
