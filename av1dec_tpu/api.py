@@ -28,6 +28,9 @@ class OutputFrame:
     subsampling: tuple
     order_hint: int = 0
     frame_type: int = 0
+    temporal_id: int = 0
+    spatial_id: int = 0
+    metadata: dict = field(default_factory=dict)  # HDR CLL/MDCV etc
 
     def md5(self) -> str:
         h = hashlib.md5()
@@ -60,7 +63,9 @@ class Decoder:
     def __init__(self, config=None) -> None:
         from av1dec_tpu.config import DecoderConfig
         self.config = config or DecoderConfig()
-        self._parser = NativeParser(threads=self.config.threads)
+        self._parser = NativeParser(
+            threads=self.config.threads,
+            operating_point=self.config.operating_point)
         self._dpb: Dict[int, Optional[_Slot]] = {i: None for i in range(8)}
         self._shown = 0
         self._use_device = None  # resolved lazily (may import jax)
@@ -146,29 +151,30 @@ class Decoder:
         return OutputFrame(planes=out_planes, bit_depth=slot.bit_depth,
                            subsampling=slot.subsampling,
                            order_hint=hdr.get("order_hint", 0),
-                           frame_type=slot.frame_type)
+                           frame_type=slot.frame_type,
+                           temporal_id=hdr.get("temporal_id", 0),
+                           spatial_id=hdr.get("spatial_id", 0),
+                           metadata=hdr.get("metadata") or {})
 
     def close(self) -> None:
         self._parser.close()
 
 
-def decode_ivf(path: str, config=None) -> List[OutputFrame]:
-    """Decode a whole IVF file (convenience)."""
-    import struct
+def decode_file(path: str, config=None) -> List[OutputFrame]:
+    """Decode a whole file (IVF, Annex-B, or raw OBU stream)."""
+    from av1dec_tpu.container import read_temporal_units
 
     frames: List[OutputFrame] = []
     dec = Decoder(config)
     limit = dec.config.max_frames
-    with open(path, "rb") as f:
-        head = f.read(32)
-        assert head[:4] == b"DKIF", "not an IVF file"
-        while True:
-            fh = f.read(12)
-            if len(fh) < 12:
-                break
-            size = struct.unpack("<I", fh[:4])[0]
-            frames += dec.decode(f.read(size))
-            if limit and len(frames) >= limit:
-                break
+    for _, tu in read_temporal_units(path):
+        frames += dec.decode(tu)
+        if limit and len(frames) >= limit:
+            break
     dec.close()
     return frames
+
+
+def decode_ivf(path: str, config=None) -> List[OutputFrame]:
+    """Back-compat alias for decode_file."""
+    return decode_file(path, config)

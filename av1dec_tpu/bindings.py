@@ -38,6 +38,7 @@ def _load():
     lib.av1n_frame_json.restype = C.c_char_p
     lib.av1n_frame_json.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_set_decode_tiles.argtypes = [C.c_void_p, C.c_int]
+    lib.av1n_set_operating_point.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_last_error.restype = C.c_char_p
     lib.av1n_last_error.argtypes = [C.c_void_p]
@@ -126,11 +127,14 @@ def rebuild_native() -> None:
 class NativeParser:
     """Header-level parser handle over the native library."""
 
-    def __init__(self, threads: int = 1) -> None:
+    def __init__(self, threads: int = 1, operating_point: int = 0) -> None:
         self._lib = _load()
         self._h = self._lib.av1n_create()
         if threads > 1:
             self._lib.av1n_set_threads(self._h, int(threads))
+        if operating_point:
+            self._lib.av1n_set_operating_point(self._h,
+                                               int(operating_point))
 
     def parse_tu(self, data: bytes, with_plans: bool = False):
         """Parse one temporal unit; returns the completed frames' headers

@@ -72,49 +72,36 @@ def main(argv=None):
 
     dec = Decoder(config)
     try:
-        import struct
-
-        with open(args.input, "rb") as f:
-            hdr = f.read(32)
-            if len(hdr) < 32 or hdr[:4] != b"DKIF":
-                print("error: not an IVF file", file=sys.stderr)
-                return 1
-            while True:
-                fh = f.read(12)
-                if len(fh) < 12:
-                    break
-                size, pts = struct.unpack("<IQ", fh)
-                tu = f.read(size)
-                if len(tu) < size:
-                    break
-                for frame in dec.decode(tu):
-                    raw = _plane_bytes(frame)
-                    if args.frame_md5:
-                        print(f"frame {n}: "
-                              f"{hashlib.md5(raw).hexdigest()}")
-                    if args.md5:
-                        total_md5.update(raw)
-                    if out_f:
-                        out_f.write(raw)
-                    if y4m_f:
-                        if n == 0:
-                            h, w = np.asarray(frame.planes[0]).shape
-                            cs = {(1, 1): "420jpeg", (1, 0): "422",
-                                  (0, 0): "444"}[frame.subsampling]
-                            if len(frame.planes) == 1:
-                                cs = "mono"
-                            if frame.bit_depth > 8:
-                                cs += f"p{frame.bit_depth}"
-                            y4m_f.write(
-                                f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 "
-                                f"C{cs}\n".encode())
-                        y4m_f.write(b"FRAME\n")
-                        y4m_f.write(raw)
-                    n += 1
-                    if args.limit and n >= args.limit:
-                        break
+        from av1dec_tpu.container import read_temporal_units
+        for _, tu in read_temporal_units(args.input):
+            for frame in dec.decode(tu):
+                raw = _plane_bytes(frame)
+                if args.frame_md5:
+                    print(f"frame {n}: "
+                          f"{hashlib.md5(raw).hexdigest()}")
+                if args.md5:
+                    total_md5.update(raw)
+                if out_f:
+                    out_f.write(raw)
+                if y4m_f:
+                    if n == 0:
+                        h, w = np.asarray(frame.planes[0]).shape
+                        cs = {(1, 1): "420jpeg", (1, 0): "422",
+                              (0, 0): "444"}[frame.subsampling]
+                        if len(frame.planes) == 1:
+                            cs = "mono"
+                        if frame.bit_depth > 8:
+                            cs += f"p{frame.bit_depth}"
+                        y4m_f.write(
+                            f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 "
+                            f"C{cs}\n".encode())
+                    y4m_f.write(b"FRAME\n")
+                    y4m_f.write(raw)
+                n += 1
                 if args.limit and n >= args.limit:
                     break
+            if args.limit and n >= args.limit:
+                break
     finally:
         dec.close()
         if out_f:

@@ -1,0 +1,150 @@
+"""Container demux: IVF and Annex-B (length-delimited) byte sources.
+
+IVF: 32-byte file header + 12-byte per-frame headers (de-facto format).
+Annex B [SPEC Annex B]: leb128 temporal_unit_size > frame_unit_size >
+obu_length framing, OBUs usually carried with obu_has_size_field == 0.
+The decoder core consumes low-overhead temporal units (OBUs with size
+fields), so Annex-B OBUs are re-wrapped: the has_size bit is set in the
+header and a leb128 payload size inserted.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Tuple
+
+
+def leb128_read(buf: bytes, pos: int) -> Tuple[int, int]:
+    v = 0
+    for i in range(8):
+        b = buf[pos]
+        v |= (b & 0x7F) << (7 * i)
+        pos += 1
+        if not (b & 0x80):
+            break
+    return v, pos
+
+
+def leb128(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_ivf(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Yield (pts, temporal_unit) from an IVF file."""
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if head[:4] != b"DKIF":
+            raise ValueError("not an IVF file")
+        while True:
+            fh = f.read(12)
+            if len(fh) < 12:
+                return
+            size, pts = struct.unpack("<IQ", fh)
+            data = f.read(size)
+            if len(data) < size:
+                return
+            yield pts, data
+
+
+def _rewrap_obu(obu: bytes) -> bytes:
+    """OBU (no size field) -> OBU with size field set."""
+    if not obu:
+        return obu
+    b0 = obu[0]
+    ext = (b0 >> 2) & 1
+    hlen = 1 + ext
+    if (b0 >> 1) & 1:  # already has a size field
+        return obu
+    payload = obu[hlen:]
+    return bytes([b0 | 0x02]) + obu[1:hlen] + leb128(len(payload)) + payload
+
+
+def _strip_obu_size(obu_stream: bytes) -> List[bytes]:
+    """Split a low-overhead OBU stream into sizeless OBUs (for writing
+    Annex-B)."""
+    out = []
+    pos = 0
+    n = len(obu_stream)
+    while pos < n:
+        b0 = obu_stream[pos]
+        ext = (b0 >> 2) & 1
+        has_size = (b0 >> 1) & 1
+        hdr_end = pos + 1 + ext
+        if has_size:
+            size, p2 = leb128_read(obu_stream, hdr_end)
+            body = obu_stream[p2: p2 + size]
+            out.append(bytes([b0 & ~0x02]) + obu_stream[pos + 1: hdr_end]
+                       + body)
+            pos = p2 + size
+        else:
+            out.append(obu_stream[pos:])
+            pos = n
+    return out
+
+
+def read_annexb(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Yield (index, temporal_unit-as-low-overhead-OBUs) from an
+    Annex-B file [SPEC Annex B]."""
+    data = open(path, "rb").read()
+    pos = 0
+    idx = 0
+    while pos < len(data):
+        tu_size, pos = leb128_read(data, pos)
+        tu_end = pos + tu_size
+        out = bytearray()
+        while pos < tu_end:
+            fu_size, pos = leb128_read(data, pos)
+            fu_end = pos + fu_size
+            while pos < fu_end:
+                obu_len, pos = leb128_read(data, pos)
+                out += _rewrap_obu(data[pos: pos + obu_len])
+                pos += obu_len
+            pos = fu_end
+        pos = tu_end
+        yield idx, bytes(out)
+        idx += 1
+
+
+def write_annexb(path: str, tus: List[bytes]) -> None:
+    """Write temporal units (low-overhead OBU streams) as Annex B.
+    Each TU becomes one frame unit holding its sizeless OBUs."""
+    with open(path, "wb") as f:
+        for tu in tus:
+            obus = [bytes(o) for o in _strip_obu_size(tu)
+                    if (o[0] >> 3) & 0xF != 2]  # drop temporal delimiters
+            fu = b"".join(leb128(len(o)) + o for o in obus)
+            fu_block = leb128(len(fu)) + fu
+            f.write(leb128(len(fu_block)) + fu_block)
+
+
+def detect_format(path: str) -> str:
+    """'ivf' | 'annexb' | 'obu' (raw low-overhead stream)."""
+    head = open(path, "rb").read(32)
+    if head[:4] == b"DKIF":
+        return "ivf"
+    # Annex B starts with a leb128 temporal_unit_size; a raw OBU stream
+    # starts with an OBU header whose forbidden bit is 0 and whose type
+    # is TEMPORAL_DELIMITER (2) or SEQUENCE_HEADER (1).
+    if head and (head[0] >> 7) == 0 and ((head[0] >> 3) & 0xF) in (1, 2) \
+            and (head[0] & 1) == 0 and len(head) > 1:
+        return "obu"
+    return "annexb"
+
+
+def read_temporal_units(path: str) -> Iterator[Tuple[int, bytes]]:
+    """Demux any supported container into temporal units."""
+    fmt = detect_format(path)
+    if fmt == "ivf":
+        yield from read_ivf(path)
+    elif fmt == "annexb":
+        yield from read_annexb(path)
+    else:
+        yield 0, open(path, "rb").read()

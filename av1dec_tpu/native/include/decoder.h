@@ -59,6 +59,17 @@ struct DecoderState {
   int seen_frame_header = 0;
   int temporal_id = 0, spatial_id = 0;
   int operating_point_idc = 0;
+  int chosen_operating_point = 0;  // API-selected op [SPEC §6.4.1]
+  // metadata OBUs [SPEC §5.8]: latest HDR CLL/MDCV + ITU-T T.35 count
+  struct {
+    int have_cll = 0;
+    int max_cll = 0, max_fall = 0;
+    int have_mdcv = 0;
+    int primaries[3][2] = {};
+    int white_point[2] = {};
+    uint32_t max_luminance = 0, min_luminance = 0;
+    int n_itut_t35 = 0;
+  } metadata;
   // tiles of the current frame, filled by tile-group OBU parsing
   std::vector<TileGroupRange> tiles;
   int tile_group_end = -1;  // last tile number seen (TileNum)

@@ -284,6 +284,20 @@ std::string frame_to_json(const DecoderState& st) {
   json_arr(o, "skip_mode_frame", h.skip_mode_frame, 2);
   json_kv(o, "enable_order_hint_seq", st.seq.enable_order_hint);
   json_kv(o, "order_hint_bits", st.seq.order_hint_bits);
+  json_kv(o, "temporal_id", st.temporal_id);
+  json_kv(o, "spatial_id", st.spatial_id);
+
+  o << "\"metadata\":{";
+  json_kv(o, "have_cll", st.metadata.have_cll);
+  json_kv(o, "max_cll", st.metadata.max_cll);
+  json_kv(o, "max_fall", st.metadata.max_fall);
+  json_kv(o, "have_mdcv", st.metadata.have_mdcv);
+  json_arr(o, "primaries", &st.metadata.primaries[0][0], 6);
+  json_arr(o, "white_point", st.metadata.white_point, 2);
+  json_kv(o, "max_luminance", (long)st.metadata.max_luminance);
+  json_kv(o, "min_luminance", (long)st.metadata.min_luminance);
+  json_kv(o, "n_itut_t35", st.metadata.n_itut_t35, false);
+  o << "},";
 
   o << "\"num_tiles\":" << (long)st.tiles.size() << ',';
   o << "\"tile_sizes\":[";
@@ -513,6 +527,10 @@ void av1n_set_decode_tiles(void* hp, int v) {
 
 void av1n_set_threads(void* hp, int v) {
   ((Handle*)hp)->threads = v < 1 ? 1 : v;
+}
+
+void av1n_set_operating_point(void* hp, int op) {
+  ((Handle*)hp)->st.chosen_operating_point = op;
 }
 
 const char* av1n_last_error(void* hp) {

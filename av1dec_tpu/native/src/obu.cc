@@ -126,6 +126,39 @@ int parse_temporal_unit(DecoderState* st, const uint8_t* data, size_t size,
         case OBU_SEQUENCE_HEADER: {
           BitReader b(payload, obu_size);
           if (parse_sequence_header(b, &st->seq) < 0) return -2;
+          // operating-point selection [SPEC §6.4.1]: idc of the chosen
+          // op drives drop_obu layer filtering above
+          {
+            int op = st->chosen_operating_point;
+            if (op < 0 || op >= st->seq.operating_points_cnt) op = 0;
+            st->operating_point_idc = st->seq.op[op].idc;
+          }
+          break;
+        }
+        case OBU_METADATA: {
+          // [SPEC §5.8.1]: metadata_type leb128 then type payload
+          size_t mp = 0;
+          bool ok;
+          uint64_t mtype = read_leb128(payload, obu_size, &mp, &ok);
+          if (!ok) break;
+          BitReader b(payload + mp, obu_size - mp);
+          if (mtype == 1) {  // METADATA_TYPE_HDR_CLL [SPEC §5.8.4]
+            st->metadata.max_cll = (int)b.f(16);
+            st->metadata.max_fall = (int)b.f(16);
+            st->metadata.have_cll = 1;
+          } else if (mtype == 2) {  // HDR_MDCV [SPEC §5.8.5]
+            for (int i = 0; i < 3; i++) {
+              st->metadata.primaries[i][0] = (int)b.f(16);
+              st->metadata.primaries[i][1] = (int)b.f(16);
+            }
+            st->metadata.white_point[0] = (int)b.f(16);
+            st->metadata.white_point[1] = (int)b.f(16);
+            st->metadata.max_luminance = (uint32_t)b.f(32);
+            st->metadata.min_luminance = (uint32_t)b.f(32);
+            st->metadata.have_mdcv = 1;
+          } else if (mtype == 4) {  // ITUT_T35 [SPEC §5.8.2]
+            st->metadata.n_itut_t35++;
+          }  // scalability/timecode: parsed-and-ignored
           break;
         }
         case OBU_FRAME_HEADER:
@@ -168,11 +201,10 @@ int parse_temporal_unit(DecoderState* st, const uint8_t* data, size_t size,
           }
           break;
         }
-        case OBU_METADATA:
         case OBU_TILE_LIST:
         case OBU_PADDING:
         default:
-          break;  // parsed-and-ignored for now [SPEC §5.8]
+          break;  // parsed-and-ignored
       }
     }
     pos = payload_pos + obu_size;
