@@ -336,10 +336,11 @@ def _cfl_adjust(frame, pred, sv, T, bd, sub_x, sub_y, pixmask):
 _ALL_FAMS = frozenset({"dir", "fi", "pal", "cfl"})
 
 
-def _apply_bucket(frame, packed, start, count, res_t, pal_t, *, T, bd,
+def _apply_bucket(frame, packed, start, count, res_flat, pal_t, *, T, bd,
                   Bmax, sub_x, sub_y, eef, fams=_ALL_FAMS):
-    """One (level, bucket) batch: predict + residual + scatter, skipped
-    entirely at runtime when the level has no blocks in this bucket.
+    """One window of lanes: predict + residual + scatter, skipped
+    entirely at runtime when the window is empty.  `res_flat` is the
+    shared packed residual buffer (per-lane res_idx = pixel offset).
     `fams` statically gates the expensive families (ablation hook for
     perf experiments; the product always passes the full set)."""
 
@@ -416,10 +417,12 @@ def _apply_bucket(frame, packed, start, count, res_t, pal_t, *, T, bd,
                                     _predict_fi(above, left, sv, T, bd), o),
                 lambda o: o, out)
 
-        # residual
-        ridx = sv["res_idx"]
-        res = res_t[jnp.maximum(ridx, 0)]
-        out = jnp.where((ridx >= 0)[:, None, None],
+        # residual: per-lane pixel window of the packed flat buffer
+        roff = sv["res_idx"]
+        rpix = (roff[:, None, None] + ii * w_l[:, None, None] + jj)
+        res = res_flat[jnp.clip(rpix, 0, res_flat.shape[0] - 1)] \
+            .astype(jnp.int32)
+        out = jnp.where((roff >= 0)[:, None, None],
                         jnp.clip(out + res, 0, (1 << bd) - 1), out)
 
         # scatter (masked pixels -> OOB index, dropped).  Measured on
@@ -442,16 +445,18 @@ CHUNK = 128  # scan levels per jitted dispatch (fixed: not a jit key dim)
 
 @functools.partial(jax.jit, static_argnames=("config",),
                    donate_argnames=("frame0",))
-def run_wavefront_chunk(frame0, packed, starts, counts, res_tensors,
+def run_wavefront_chunk(frame0, packed, starts, counts, res_flat,
                         pal_tensors, config):
-    """One CHUNK-level slice of the wavefront scan.
+    """One CHUNK-step slice of the wavefront window scan.
 
     frame0: flat int32 [flat_len + pad]; packed: {T: [Ncap, F] int32};
-    starts/counts: [CHUNK, n_buckets] int32; res_tensors: {T: [R, T, T]};
-    pal_tensors: {T: [P, T, T]}.  config: (((T, Bmax), ...), bd, sub_x,
-    sub_y, eef) — capacities quantized so the key is stable across the
-    frames of a stream; the level count lives OUTSIDE the key (the host
-    loops chunks), so frames of any depth share one compilation."""
+    starts/counts: [CHUNK, n_buckets] int32 WINDOWS (each level split
+    into <= Bmax-lane windows, lockstep across buckets so no window of
+    level L runs before every window of level < L); res_flat: packed
+    residual pixels (int16 for 8-bit); pal_tensors: {T: [P, T, T]}.
+    config: (((T, Bmax), ...), bd, sub_x, sub_y, eef) — capacities
+    quantized so the key is stable across the frames of a stream; the
+    step count lives OUTSIDE the key (the host loops chunks)."""
     (buckets, bd, sub_x, sub_y, eef) = config
 
     def step(frame, sc):
@@ -459,7 +464,7 @@ def run_wavefront_chunk(frame0, packed, starts, counts, res_tensors,
         for bi, (T, Bmax) in enumerate(buckets):
             frame = _apply_bucket(
                 frame, packed[T], st[bi], cn[bi],
-                res_tensors[T], pal_tensors[T],
+                res_flat, pal_tensors[T],
                 T=T, bd=bd, Bmax=Bmax, sub_x=sub_x, sub_y=sub_y, eef=eef)
         return frame, ()
 
@@ -467,30 +472,59 @@ def run_wavefront_chunk(frame0, packed, starts, counts, res_tensors,
     return frame
 
 
-def run_wavefront(frame0, bucket_inputs, res_tensors, pal_tensors, config):
-    """Whole-frame wavefront: host loop over CHUNK-level slices of one
-    compiled scan.  bucket_inputs: {T: (packed dev array,
-    starts [L] np, counts [L] np)}; config as for run_wavefront_chunk
-    (no level count)."""
+def make_windows(starts_by_t, counts_by_t, bcaps, ts):
+    """Split per-level lane runs into <= Bcap-lane windows, lockstep
+    across buckets: level l contributes max_b(ceil(c_bl / Bcap_b)) steps
+    and every bucket pads that level to the same step count, so no
+    window of a later level ever precedes one of an earlier level.
+    Returns (win_starts [S, nb], win_counts [S, nb]) int32."""
+    import numpy as np
+    L = len(counts_by_t[ts[0]])
+    sub = np.zeros(L, np.int64)
+    for t in ts:
+        sub = np.maximum(sub, -(-counts_by_t[t].astype(np.int64)
+                                // bcaps[t]))
+    S = int(sub.sum())
+    ws = np.zeros((S, len(ts)), np.int32)
+    wc = np.zeros((S, len(ts)), np.int32)
+    pos = np.concatenate([[0], np.cumsum(sub)[:-1]]).astype(np.int64)
+    for bi, t in enumerate(ts):
+        B = bcaps[t]
+        st, cn = starts_by_t[t], counts_by_t[t]
+        for lvl in range(L):
+            c = int(cn[lvl])
+            p = int(pos[lvl])
+            k = 0
+            while c > 0:
+                ws[p + k, bi] = st[lvl] + k * B
+                wc[p + k, bi] = min(B, c)
+                c -= B
+                k += 1
+    return ws, wc
+
+
+def run_wavefront(frame0, bucket_inputs, res_flat, pal_tensors, config):
+    """Whole-frame wavefront: window-pack the level schedule, then host
+    loop over CHUNK-step slices of one compiled scan.  bucket_inputs:
+    {T: (packed dev array, starts [L] np, counts [L] np)}; config as
+    for run_wavefront_chunk."""
     import numpy as np
     (buckets, *_rest) = config
     ts = [t for t, _ in buckets]
+    bcaps = {t: b for t, b in buckets}
+    ws, wc = make_windows({t: bucket_inputs[t][1] for t in ts},
+                          {t: bucket_inputs[t][2] for t in ts}, bcaps, ts)
     packed = {t: bucket_inputs[t][0] for t in ts}
-    starts_np = np.stack([np.asarray(bucket_inputs[t][1]) for t in ts],
-                         axis=1).astype(np.int32)
-    counts_np = np.stack([np.asarray(bucket_inputs[t][2]) for t in ts],
-                         axis=1).astype(np.int32)
-    L = starts_np.shape[0]
-    n_chunks = max(1, -(-L // CHUNK))
-    pad = n_chunks * CHUNK - L
+    S = ws.shape[0]
+    n_chunks = max(1, -(-S // CHUNK))
+    pad = n_chunks * CHUNK - S
     if pad:
-        starts_np = np.pad(starts_np, ((0, pad), (0, 0)))
-        counts_np = np.pad(counts_np, ((0, pad), (0, 0)))
+        ws = np.pad(ws, ((0, pad), (0, 0)))
+        wc = np.pad(wc, ((0, pad), (0, 0)))
     frame = frame0
     for k in range(n_chunks):
         sl = slice(k * CHUNK, (k + 1) * CHUNK)
         frame = run_wavefront_chunk(
-            frame, packed, jnp.asarray(starts_np[sl]),
-            jnp.asarray(counts_np[sl]), res_tensors, pal_tensors,
-            tuple(config))
+            frame, packed, jnp.asarray(ws[sl]), jnp.asarray(wc[sl]),
+            res_flat, pal_tensors, tuple(config))
     return frame

@@ -24,6 +24,7 @@ from av1dec_tpu.pipeline import wavefront as wf
 
 TX_DIMS = itx.TX_DIMS
 BUCKETS = (16, 64)
+BWIN = {16: 128, 64: 64}  # lanes per scan window (fixed: stable jit key)
 FLAT_PAD = 64  # tail pad so T-wide row windows never cross the end
 _DEV_F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 
@@ -49,10 +50,9 @@ def _caps_for(sch, batch=1):
     key = (sch.flat_len, sch.bd, sch.sub_x, sch.sub_y,
            sch.enable_edge_filter, batch)
     return _CAPS.setdefault(key, {
-        "B": dict.fromkeys(BUCKETS, 8),    # lanes per level window
         "N": dict.fromkeys(BUCKETS, 8),    # packed rows
-        "R": dict.fromkeys(BUCKETS, 1),    # residual slots
         "P": dict.fromkeys(BUCKETS, 1),    # palette slots
+        "RF": [64],                        # packed residual pixels
     })
 
 
@@ -90,14 +90,17 @@ class DeviceRecon:
         self.sch = wf.build_schedule(seq, hdr, plans, self._fr._filter_type)
         self.seq, self.hdr, self.plans = seq, hdr, plans
         if self.sch is not None:
-            # deterministic per-(w, h) offsets into the bucket tensors
-            self._res_off, self._pal_off = {}, {}
-            self._res_tot = dict.fromkeys(BUCKETS, 0)
+            # deterministic per-(w, h) offsets: palette slots per bucket,
+            # residual PIXEL offsets into the packed flat buffer
+            self._pal_off = {}
             self._pal_tot = dict.fromkeys(BUCKETS, 0)
+            self._res_px_base = {}
+            self._res_px_tot = 0
             for key in sorted(self.sch.classes):
                 t = _bucket_for(*key)
-                self._res_off[key] = self._res_tot[t]
-                self._res_tot[t] += self.sch.res_count.get(key, 0)
+                self._res_px_base[key] = self._res_px_tot
+                self._res_px_tot += self.sch.res_count.get(key, 0) * \
+                    key[0] * key[1]
                 self._pal_off[key] = self._pal_tot[t]
                 self._pal_tot[t] += len(self.sch.pal_preds.get(key, []))
 
@@ -116,94 +119,26 @@ class DeviceRecon:
             return False
         return True
 
-    # -- residuals on device ---------------------------------------------
-    def _residuals_device(self, jnp, coeffs_dev, caps=None):
-        """Returns {T: [R, T, T] int32 device arrays} (R >= 1, pow2)."""
-        from av1dec_tpu.ops.kernels.itx import residual_bucket
-        from av1dec_tpu.ops.tables_data import AC_Q, DC_Q
-        sch, plans, hdr, bd = self.sch, self.plans, self.hdr, self.sch.bd
-        q = hdr["quant"]
-        use_qm = bool(q.get("using_qmatrix"))
-        qm_by_plane = (q.get("qm_y", 15), q.get("qm_u", 15),
-                       q.get("qm_v", 15))
-        g = plans.grid
-        qindex_g, lossless_g = g("qindex"), g("lossless")
-        mi_cols = plans.mi_cols
-        bi = {8: 0, 10: 1, 12: 2}[bd]
-
-        buckets = {}
-        for key, recs in sch.res_recs.items():
-            for slot, i in enumerate(recs):
-                rec = plans.tx[i]
-                buckets.setdefault((int(rec[3]), int(rec[4])), []).append(
-                    (key, slot, i))
-        if caps is None:
-            caps = _caps_for(sch)
-        out = {t: jnp.zeros((_cap(caps, "R", t, self._res_tot[t]), t, t),
-                            jnp.int32)
-               for t in BUCKETS}
-        host_rows = {}  # lossless/WHT rows computed on host, per bucket
-        for (tsz, tt), items in buckets.items():
-            w, h = (4, 4) if tsz == 19 else TX_DIMS[tsz]
-            t = _bucket_for(w, h)
-            aw, ah = (4, 4) if tsz == 19 else (min(w, 32), min(h, 32))
-            n = aw * ah
-            B = len(items)
-            offs = np.zeros(B, np.int64)
-            qidx = np.zeros(B, np.int64)
-            dcd = np.zeros(B, np.int64)
-            acd = np.zeros(B, np.int64)
-            lossless = np.zeros(B, bool)
-            slots_g = np.zeros(B, np.int64)
-            qml = np.full(B, 15, np.int64)
-            qmc = np.zeros(B, bool)
-            qm_ok = use_qm and tt < 9  # qm only for 2-D transforms
-            for b, (key, slot, i) in enumerate(items):
-                rec = plans.tx[i]
-                offs[b] = int(rec[6])
-                mi = int(rec[7])
-                mi_r, mi_c = mi // mi_cols, mi % mi_cols
-                qidx[b] = qindex_g[mi_r, mi_c]
-                lossless[b] = bool(lossless_g[mi_r, mi_c])
-                slots_g[b] = self._res_off[key] + slot
-                plane = int(rec[0])
-                if plane == 0:
-                    dcd[b], acd[b] = q["delta_q_y_dc"], 0
-                elif plane == 1:
-                    dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
-                else:
-                    dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
-                if qm_ok and not lossless[b]:
-                    qml[b] = qm_by_plane[plane]
-                    qmc[b] = plane >= 1
-            if tsz == 19 or lossless.any() or (qml < 15).any():
-                from av1dec_tpu.ops.qm_data import qm_row
-                for b, (key, slot, i) in enumerate(items):
-                    lv = self.plans.coeffs[offs[b]: offs[b] + n]
-                    dq = dequant.dequant_block(
-                        lv, tsz, int(qidx[b]), bd, int(dcd[b]),
-                        int(acd[b]), bool(lossless[b]),
-                        qm=qm_row(int(qml[b]), bool(qmc[b]), w, h))
-                    host_rows.setdefault((t, h, w), []).append(
-                        (slots_g[b], itx.inverse_transform(dq, tsz, tt, bd)))
+    # -- residuals ---------------------------------------------------------
+    def _residuals_flat_np(self):
+        """Packed residual pixels, computed with the vectorized NumPy
+        path (ops/spec itx lanes).  Host compute + one compact upload
+        beats ~15 per-(tx_size, tx_type) jitted device programs through
+        the remote-TPU stack, and packing exactly (no bucket-tile
+        padding) keeps the upload ~bytes-of-residual-sized.  int16 for
+        8-bit (residuals fit [-32768, 32767] per the §7.13.3 clamps)."""
+        res_np = wf.compute_residuals(self.sch)
+        dt = np.int16 if self.sch.bd == 8 else np.int32
+        buf = np.zeros(self._res_px_tot, dt)
+        for key, tensor in res_np.items():
+            if not len(tensor):
                 continue
-            dcq = DC_Q[bi, np.clip(qidx + dcd, 0, 255)].astype(np.int32)
-            acq = AC_Q[bi, np.clip(qidx + acd, 0, 255)].astype(np.int32)
-            Bp = _pow2(B)
-            if Bp != B:
-                offs = np.concatenate([offs, np.zeros(Bp - B, np.int64)])
-                dcq = np.concatenate([dcq, np.ones(Bp - B, np.int32)])
-                acq = np.concatenate([acq, np.ones(Bp - B, np.int32)])
-            levels = coeffs_dev[jnp.asarray(offs.astype(np.int32))[:, None]
-                                + jnp.arange(n, dtype=jnp.int32)[None, :]]
-            res = residual_bucket(levels, jnp.asarray(dcq),
-                                  jnp.asarray(acq), tsz, tt, bd)
-            out[t] = out[t].at[jnp.asarray(slots_g), :h, :w].set(res[:B])
-        for (t, h, w), pairs in host_rows.items():
-            slots = np.asarray([s for s, _ in pairs])
-            rows = np.stack([r for _, r in pairs]).astype(np.int32)
-            out[t] = out[t].at[slots, :h, :w].set(jnp.asarray(rows))
-        return out
+            b = self._res_px_base[key]
+            flat = tensor.reshape(-1)
+            if dt == np.int16:
+                flat = np.clip(flat, -32768, 32767)
+            buf[b: b + flat.size] = flat
+        return buf
 
     # -- schedule packing --------------------------------------------------
     def _bucket_rows(self, t):
@@ -222,7 +157,7 @@ class DeviceRecon:
                 arr[:, _DEV_F[f]] = a
             ridx = arr[:, _DEV_F["res_idx"]]
             arr[:, _DEV_F["res_idx"]] = np.where(
-                ridx >= 0, ridx + self._res_off[key], -1)
+                ridx >= 0, self._res_px_base[key] + ridx * (w * h), -1)
             pidx = arr[:, _DEV_F["pal_idx"]]
             arr[:, _DEV_F["pal_idx"]] = np.where(
                 pidx >= 0, pidx + self._pal_off[key], -1)
@@ -251,8 +186,8 @@ class DeviceRecon:
 
     def _pack_buckets(self, jnp):
         """Regroup the per-(w, h) schedule classes into the fixed shape
-        buckets, remapping residual/palette slots to bucket-global
-        indices.  Returns (buckets config, inputs, pal tensors)."""
+        buckets (fixed window lane caps; run_wavefront splits levels
+        into windows).  Returns (buckets config, inputs, pal tensors)."""
         caps = _caps_for(self.sch)
         buckets = []
         inputs = {}
@@ -269,7 +204,7 @@ class DeviceRecon:
                                              return_counts=True)
                 starts[uniq - 1] = s_idx
                 counts[uniq - 1] = cnt
-            Bmax = _cap(caps, "B", t, counts.max() if len(lv) else 0)
+            Bmax = BWIN[t]
             n_cap = _cap(caps, "N", t, len(arr))
             packed = _pad_rows(arr, n_cap + Bmax)
             buckets.append((t, int(Bmax)))
@@ -278,14 +213,23 @@ class DeviceRecon:
             pal[t] = jnp.asarray(self._palette_tensor(t, P))
         return tuple(buckets), inputs, pal
 
+    def _res_flat_dev(self, jnp, caps, n_frames=1, which=0, buf=None):
+        """Upload the packed residuals padded to the RF cap."""
+        if buf is None:
+            buf = self._residuals_flat_np()
+        rf = caps["RF"]
+        rf[0] = max(rf[0], _pow2(max(len(buf), 1)))
+        out = np.zeros(rf[0], buf.dtype)
+        out[:len(buf)] = buf
+        return jnp.asarray(out)
+
     def run_device(self):
         """Returns the final planes as DEVICE arrays (async)."""
         import jax.numpy as jnp
         from av1dec_tpu.ops.kernels.wavefront import run_wavefront
         sch = self.sch
-        coeffs_dev = jnp.asarray(
-            np.asarray(self.plans.coeffs, np.int32))
-        res = self._residuals_device(jnp, coeffs_dev)
+        caps = _caps_for(sch)
+        res = self._res_flat_dev(jnp, caps)
         buckets, inputs, pal = self._pack_buckets(jnp)
         config = (buckets, sch.bd, sch.sub_x, sch.sub_y,
                   sch.enable_edge_filter)
@@ -345,12 +289,11 @@ class DeviceRecon:
 def run_device_batch(drs):
     """Decode K same-geometry intra frames in ONE wavefront run.
 
-    Frames are independent, so level i of every frame executes at scan
-    step i — the per-level dispatch overhead (the dominant cost at
-    1080p, where levels carry only tens of lanes) is amortized K ways.
-    Lanes carry per-frame base offsets into a [K * (flat_len + pad)]
-    buffer; residual/palette tensors are concatenated per bucket with
-    uniform per-frame capacity so slot remapping is a constant stride.
+    Frames are independent, so level i of every frame executes at the
+    same scan position — the window packing then amortizes the
+    per-window dispatch/compute across K frames' lanes.  Lanes carry
+    per-frame base offsets into a [K * (flat_len + pad)] buffer;
+    residuals are packed pixels at a uniform per-frame stride.
 
     Returns a list (per frame) of device plane lists (async).
     """
@@ -362,17 +305,18 @@ def run_device_batch(drs):
     sch0 = drs[0].sch
     caps = _caps_for(sch0, batch=True)
     flat = sch0.flat_len + FLAT_PAD
-    Rcap = {t: _cap(caps, "R", t, max(dr._res_tot[t] for dr in drs))
-            for t in BUCKETS}
     Pcap = {t: _cap(caps, "P", t, max(dr._pal_tot[t] for dr in drs))
             for t in BUCKETS}
 
-    res_f = []
-    for dr in drs:
-        coeffs_dev = jnp.asarray(np.asarray(dr.plans.coeffs, np.int32))
-        res_f.append(dr._residuals_device(jnp, coeffs_dev, caps=caps))
-    res = {t: jnp.concatenate([rf[t] for rf in res_f], axis=0)
-           for t in BUCKETS}
+    # packed residuals at a uniform per-frame stride
+    bufs = [dr._residuals_flat_np() for dr in drs]
+    rf = caps["RF"]
+    rf[0] = max(rf[0], _pow2(max(max(len(b) for b in bufs), 1)))
+    res_np = np.zeros(K * rf[0], bufs[0].dtype)
+    for f, b in enumerate(bufs):
+        res_np[f * rf[0]: f * rf[0] + len(b)] = b
+    res = jnp.asarray(res_np)
+
     pal = {t: jnp.asarray(np.concatenate(
         [dr._palette_tensor(t, Pcap[t]) for dr in drs], axis=0))
         for t in BUCKETS}
@@ -388,7 +332,7 @@ def run_device_batch(drs):
             arr[:, _DEV_F["base"]] += f * flat
             ridx = arr[:, _DEV_F["res_idx"]]
             arr[:, _DEV_F["res_idx"]] = np.where(
-                ridx >= 0, ridx + f * Rcap[t], -1)
+                ridx >= 0, ridx + f * rf[0], -1)
             pidx = arr[:, _DEV_F["pal_idx"]]
             arr[:, _DEV_F["pal_idx"]] = np.where(
                 pidx >= 0, pidx + f * Pcap[t], -1)
@@ -405,10 +349,9 @@ def run_device_batch(drs):
                                          return_counts=True)
             starts[uniq - 1] = s_idx
             counts[uniq - 1] = cnt
-        Bmax = _cap(caps, "B", t, counts.max() if len(lv) else 0)
         n_cap = _cap(caps, "N", t, len(arr))
-        packed = _pad_rows(arr, n_cap + Bmax)
-        buckets.append((t, int(Bmax)))
+        packed = _pad_rows(arr, n_cap + BWIN[t])
+        buckets.append((t, BWIN[t]))
         inputs[t] = (jnp.asarray(packed), starts, counts)
 
     config = (tuple(buckets), sch0.bd, sch0.sub_x, sch0.sub_y,

@@ -6,6 +6,7 @@ was configured to produce (SURVEY.md §4, M0 exit test).
 """
 
 import os
+import sys
 
 import aomffi
 import pytest
@@ -108,15 +109,31 @@ def test_oracle_md5_stability(stream_factory):
     assert len(f1) == 10
 
 
-def test_tile_parallel_entropy_matches_serial(native_lib):
-    """threads=N tile decode == serial, on a multi-tile stream
-    [SURVEY §2.4 tile parallelism]."""
+def _tile_parallel_stream(name, spec_stream):
+    if name == "tiles":
+        return spec_stream("tiles")
+    # multi-tile INTER stream (shared FrameMotionContext, per-tile
+    # neighbor grids, tile-clamped ref-MV scans under threads)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import gen_inter_battery as gb
+    outdir = "/tmp/inter_battery"
+    os.makedirs(outdir, exist_ok=True)
+    return gb.gen_case("tile0", gb.CASES["tile0"], outdir)
+
+
+@pytest.mark.parametrize("name", ["tiles", "tile0"])
+def test_tile_parallel_entropy_matches_serial(name, native_lib,
+                                              spec_stream):
+    """threads=N tile decode == serial, on multi-tile intra AND inter
+    streams [SURVEY §2.4 tile parallelism]."""
     import numpy as np
 
     import aomffi
     from av1dec_tpu.bindings import NativeParser
-    path = "/tmp/pytest_streams/tiles.ivf"
+    path = _tile_parallel_stream(name, spec_stream)
     ser, par = NativeParser(), NativeParser(threads=2)
+    checked = 0
     for _, d in aomffi.read_ivf(path):
         for (h1, p1), (h2, p2) in zip(ser.parse_tu(d, with_plans=True),
                                       par.parse_tu(d, with_plans=True)):
@@ -128,6 +145,8 @@ def test_tile_parallel_entropy_matches_serial(native_lib):
                 a, b = getattr(p1, attr), getattr(p2, attr)
                 assert a.shape == b.shape
                 assert (np.asarray(a) == np.asarray(b)).all()
+            checked += 1
+    assert checked > 0
 
 
 def test_sanitizer_builds_decode_clean(native_lib):
@@ -138,10 +157,13 @@ def test_sanitizer_builds_decode_clean(native_lib):
         os.path.abspath(__file__))), "av1dec_tpu", "native")
     subprocess.run(["make", "-s", "asan-check", "tsan-check"], cwd=nd,
                    check=True)
+    streams = ["/tmp/pytest_streams/tiles.ivf"]
+    if os.path.exists("/tmp/inter_battery/tile0.ivf"):
+        streams.append("/tmp/inter_battery/tile0.ivf")
     for build in ("build-asan", "build-tsan"):
-        r = subprocess.run(
-            [os.path.join(nd, build, "av1dec_check"),
-             "/tmp/pytest_streams/tiles.ivf", "2"],
-            capture_output=True, text=True)
-        assert r.returncode == 0, r.stderr
-        assert "WARNING" not in r.stderr, r.stderr
+        for stream in streams:
+            r = subprocess.run(
+                [os.path.join(nd, build, "av1dec_check"), stream, "2"],
+                capture_output=True, text=True)
+            assert r.returncode == 0, r.stderr
+            assert "WARNING" not in r.stderr, r.stderr
