@@ -69,6 +69,7 @@ class Decoder:
         self._dpb: Dict[int, Optional[_Slot]] = {i: None for i in range(8)}
         self._shown = 0
         self._use_device = None  # resolved lazily (may import jax)
+        self.stats: List[dict] = []  # per-frame decode records
 
     def _device_enabled(self) -> bool:
         if self._use_device is None:
@@ -112,14 +113,34 @@ class Decoder:
                         refs[rf] = {"planes": slot.planes,
                                     "width": slot.width,
                                     "height": slot.height}
+            import time as _time
+            t0 = _time.monotonic()
             planes = None
+            path = "host"
             if refs is None and self._device_enabled():
                 from av1dec_tpu.pipeline.device_recon import DeviceRecon
                 dr = DeviceRecon(seq, hdr, plans, config=self.config)
                 if dr.supported():
                     planes = dr.run()
+                    path = "device"
             if planes is None:
                 planes = FrameRecon(seq, hdr, plans, refs=refs).run()
+            self.stats.append({
+                "frame_type": hdr["frame_type"],
+                "show": int(bool(hdr.get("show_frame"))),
+                "qindex": hdr["quant"]["base_q_idx"],
+                "width": hdr["frame_width"],
+                "height": hdr["frame_height"],
+                "intra": int(bool(hdr.get("frame_is_intra", 1))),
+                "cdef": int(bool((hdr.get("cdef") or {}).get("bits", 0) or
+                                 any((hdr.get("cdef") or {})
+                                     .get("y_pri", [0])))),
+                "superres": int(bool(hdr.get("use_superres"))),
+                "lr": int(any((hdr.get("lr") or {})
+                              .get("frame_restoration_type", [0, 0, 0]))),
+                "recon_path": path,
+                "ms": round((_time.monotonic() - t0) * 1000, 2),
+            })
             slot = _Slot(planes=planes,
                          width=hdr["upscaled_width"],
                          height=hdr["frame_height"],

@@ -53,6 +53,8 @@ def main(argv=None):
                          "specific JAX platform")
     ap.add_argument("--no-grain", action="store_true",
                     help="skip film-grain synthesis at output")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-frame decode records (JSON lines)")
     args = ap.parse_args(argv)
 
     from av1dec_tpu.api import Decoder
@@ -110,6 +112,10 @@ def main(argv=None):
             y4m_f.close()
 
     dt = time.monotonic() - t0
+    if args.stats:
+        import json as _json
+        for rec in dec.stats:
+            print(_json.dumps(rec), file=sys.stderr)
     if args.md5:
         print(total_md5.hexdigest())
     if args.summary:
