@@ -45,7 +45,7 @@ from av1dec_tpu.pipeline.wavefront import (MF_DC, MF_DIR, MF_FI, MF_H,
 
 # device packing appends the per-lane block geometry to the shared
 # scalar schedule fields
-_DEV_FIELDS = list(_SCALAR_FIELDS) + ["w", "h", "lw", "lh"]
+_DEV_FIELDS = list(_SCALAR_FIELDS) + ["w", "h", "lw", "lh", "lbase"]
 _F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 _KERN = np.concatenate([np.zeros((1, 5), np.int64),
                         np.asarray(intra.INTRA_EDGE_KERNELS)],
@@ -309,13 +309,14 @@ def _cfl_adjust(frame, pred, sv, T, bd, sub_x, sub_y, pixmask):
     [SPEC §7.11.5]"""
     B = pred.shape[0]
     lstride = sv["stride"] << sub_x
+    lbase = sv["lbase"][:, None, None]  # luma plane base (batch offset)
     ii = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
     ly = jnp.minimum((sv["y"][:, None, None] + ii) << sub_y,
                      sv["cfl_maxy"][:, None, None])
     lx = jnp.minimum((sv["x"][:, None, None] + jj) << sub_x,
                      sv["cfl_maxx"][:, None, None])
-    b = jnp.maximum(ly * lstride[:, None, None] + lx, 0)
+    b = jnp.maximum(lbase + ly * lstride[:, None, None] + lx, 0)
     if sub_x and sub_y:
         t = (frame[b] + frame[b + 1] + frame[b + lstride[:, None, None]] +
              frame[b + lstride[:, None, None] + 1]) << 1

@@ -330,6 +330,7 @@ def run_device_batch(drs):
             arr, lv = dr._bucket_rows(t)
             arr = arr.copy()
             arr[:, _DEV_F["base"]] += f * flat
+            arr[:, _DEV_F["lbase"]] += f * flat
             ridx = arr[:, _DEV_F["res_idx"]]
             arr[:, _DEV_F["res_idx"]] = np.where(
                 ridx >= 0, ridx + f * rf[0], -1)
