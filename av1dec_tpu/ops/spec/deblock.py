@@ -235,7 +235,12 @@ def deblock_frame(planes, seq, hdr, plans, bd):
             continue
         subx = seq.get("subsampling_x", 1) if plane else 0
         suby = seq.get("subsampling_y", 1) if plane else 0
-        ph, pw = planes[plane].shape
+        # 4x4 units whose origin lies at/beyond the CROPPED plane dims
+        # are not filtered [SPEC §7.14.2 "if x >= width ... return"]:
+        # the mi area (and the superblock-padded alloc) can carry
+        # decoded overhang from partial blocks past the frame edge
+        pw = (hdr["frame_width"] + subx) >> subx
+        ph = (hdr["frame_height"] + suby) >> suby
         pw4, ph4 = (pw + 3) >> 2, (ph + 3) >> 2
         txw, txh, edge_v, edge_h = _tx_maps(plans, plane, pw4, ph4)
         # luma mi coords for each plane 4x4 cell (bottom-right of group)

@@ -23,8 +23,8 @@ from av1dec_tpu.ops.spec import dequant, itx
 from av1dec_tpu.pipeline import wavefront as wf
 
 TX_DIMS = itx.TX_DIMS
-BUCKETS = (16, 64)
-BWIN = {16: 128, 64: 64}  # lanes per scan window (fixed: stable jit key)
+BUCKETS = (16, 32, 64)
+BWIN = {16: 128, 32: 64, 64: 16}  # window lane caps (fixed: stable key)
 FLAT_PAD = 64  # tail pad so T-wide row windows never cross the end
 _DEV_F = {name: i for i, name in enumerate(_DEV_FIELDS)}
 
@@ -34,7 +34,8 @@ def _pow2(n, lo=1):
 
 
 def _bucket_for(w, h):
-    return 16 if max(w, h) <= 16 else 64
+    m = max(w, h)
+    return 16 if m <= 16 else 32 if m <= 32 else 64
 
 
 # Monotonic per-geometry capacity cache: all device array extents are

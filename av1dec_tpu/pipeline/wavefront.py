@@ -349,32 +349,24 @@ def compute_residuals(sch):
         aw, ah = (4, 4) if tsz == 19 else (min(w, 32), min(h, 32))
         n = aw * ah
         B = len(items)
-        levels = np.zeros((B, n), np.int64)
-        qidx = np.zeros(B, np.int64)
-        dcd = np.zeros(B, np.int64)
-        acd = np.zeros(B, np.int64)
-        lossless = np.zeros(B, bool)
-        qml = np.full(B, 15, np.int64)
-        qmc = np.zeros(B, bool)
         qm_ok = use_qm and tt < 9  # qm only for 2-D transforms
-        for b, (key, slot, i) in enumerate(items):
-            rec = plans.tx[i]
-            off = int(rec[6])
-            levels[b] = plans.coeffs[off: off + n]
-            mi = int(rec[7])
-            mi_r, mi_c = mi // mi_cols, mi % mi_cols
-            qidx[b] = qindex_g[mi_r, mi_c]
-            lossless[b] = bool(lossless_g[mi_r, mi_c])
-            plane = int(rec[0])
-            if plane == 0:
-                dcd[b], acd[b] = q["delta_q_y_dc"], 0
-            elif plane == 1:
-                dcd[b], acd[b] = q["delta_q_u_dc"], q["delta_q_u_ac"]
-            else:
-                dcd[b], acd[b] = q["delta_q_v_dc"], q["delta_q_v_ac"]
-            if qm_ok and not lossless[b]:
-                qml[b] = qm_by_plane[plane]
-                qmc[b] = plane >= 1
+        idxa = np.fromiter((i for _, _, i in items), np.int64, B)
+        recs = np.asarray(plans.tx, np.int64)[idxa]
+        offs = recs[:, 6]
+        levels = np.asarray(plans.coeffs, np.int64)[
+            offs[:, None] + np.arange(n)]
+        mi_r, mi_c = recs[:, 7] // mi_cols, recs[:, 7] % mi_cols
+        qidx = qindex_g[mi_r, mi_c].astype(np.int64)
+        lossless = lossless_g[mi_r, mi_c].astype(bool)
+        plane = recs[:, 0]
+        dcd = np.choose(np.minimum(plane, 2),
+                        [q["delta_q_y_dc"], q["delta_q_u_dc"],
+                         q["delta_q_v_dc"]])
+        acd = np.choose(np.minimum(plane, 2),
+                        [0, q["delta_q_u_ac"], q["delta_q_v_ac"]])
+        qml = np.where(qm_ok & ~lossless,
+                       np.asarray(qm_by_plane)[np.minimum(plane, 2)], 15)
+        qmc = (plane >= 1) & (qml < 15)
         if tsz == 19 or lossless.any():
             from av1dec_tpu.ops.qm_data import qm_row
             for b, (key, slot, i) in enumerate(items):

@@ -19,7 +19,7 @@ def main():
     import aomffi
     import bench
     from av1dec_tpu.bindings import NativeParser
-    from av1dec_tpu.ops.kernels.wavefront import (CHUNK,
+    from av1dec_tpu.ops.kernels.wavefront import (CHUNK, make_windows,
                                                   run_wavefront_chunk)
     from av1dec_tpu.pipeline import device_recon as DR
 
@@ -40,20 +40,22 @@ def main():
         sch0 = drs[0].sch
         caps = DR._caps_for(sch0, batch=True)
         flat = sch0.flat_len + DR.FLAT_PAD
-        Rcap = {t: DR._cap(caps, "R", t,
-                           max(dr._res_tot[t] for dr in drs))
-                for t in DR.BUCKETS}
         Pcap = {t: DR._cap(caps, "P", t,
                            max(dr._pal_tot[t] for dr in drs))
                 for t in DR.BUCKETS}
 
         t0 = time.time()
-        res_f = [dr._residuals_host(jnp, caps=caps) for dr in drs]
-        res = {t: jnp.concatenate([rf[t] for rf in res_f], axis=0)
-               for t in DR.BUCKETS}
-        for t in DR.BUCKETS:
-            res[t].block_until_ready()
-        t_res = time.time() - t0
+        bufs = [dr._residuals_flat_np() for dr in drs]
+        t_resc = time.time() - t0
+        t0 = time.time()
+        rf = caps["RF"]
+        rf[0] = max(rf[0], DR._pow2(max(max(len(b) for b in bufs), 1)))
+        res_np = np.zeros(K * rf[0], bufs[0].dtype)
+        for f, b in enumerate(bufs):
+            res_np[f * rf[0]: f * rf[0] + len(b)] = b
+        res = jnp.asarray(res_np)
+        res.block_until_ready()
+        t_resu = time.time() - t0
 
         t0 = time.time()
         pal = {t: jnp.asarray(np.concatenate(
@@ -68,9 +70,10 @@ def main():
                 arr, lv = dr._bucket_rows(t)
                 arr = arr.copy()
                 arr[:, DR._DEV_F["base"]] += f * flat
+                arr[:, DR._DEV_F["lbase"]] += f * flat
                 ridx = arr[:, DR._DEV_F["res_idx"]]
                 arr[:, DR._DEV_F["res_idx"]] = np.where(
-                    ridx >= 0, ridx + f * Rcap[t], -1)
+                    ridx >= 0, ridx + f * rf[0], -1)
                 pidx = arr[:, DR._DEV_F["pal_idx"]]
                 arr[:, DR._DEV_F["pal_idx"]] = np.where(
                     pidx >= 0, pidx + f * Pcap[t], -1)
@@ -87,36 +90,34 @@ def main():
                                              return_counts=True)
                 starts[uniq - 1] = s_idx
                 counts[uniq - 1] = cnt
-            Bmax = DR._cap(caps, "B", t, counts.max() if len(lv) else 0)
             n_cap = DR._cap(caps, "N", t, len(arr))
-            packed = DR._pad_rows(arr, n_cap + Bmax)
-            buckets.append((t, int(Bmax)))
+            packed = DR._pad_rows(arr, n_cap + DR.BWIN[t])
+            buckets.append((t, DR.BWIN[t]))
             inputs[t] = (jnp.asarray(packed), starts, counts)
         for t in DR.BUCKETS:
             inputs[t][0].block_until_ready()
         t_pack = time.time() - t0
-        print(f"iter {it}: caps B={caps['B']} N={caps['N']} L={L}",
-              flush=True)
 
+        ts = [t for t, _ in buckets]
+        ws, wc = make_windows({t: inputs[t][1] for t in ts},
+                              {t: inputs[t][2] for t in ts},
+                              {t: b for t, b in buckets}, ts)
+        S = ws.shape[0]
+        n_chunks = max(1, -(-S // CHUNK))
+        pad = n_chunks * CHUNK - S
+        if pad:
+            ws = np.pad(ws, ((0, pad), (0, 0)))
+            wc = np.pad(wc, ((0, pad), (0, 0)))
         config = (tuple(buckets), sch0.bd, sch0.sub_x, sch0.sub_y,
                   sch0.enable_edge_filter)
-        frame0 = jnp.zeros(K * flat, jnp.int32)
-        ts = [t for t, _ in buckets]
         packed_d = {t: inputs[t][0] for t in ts}
-        starts_np = np.stack([inputs[t][1] for t in ts], 1)
-        counts_np = np.stack([inputs[t][2] for t in ts], 1)
-        n_chunks = max(1, -(-L // CHUNK))
-        pad = n_chunks * CHUNK - L
-        if pad:
-            starts_np = np.pad(starts_np, ((0, pad), (0, 0)))
-            counts_np = np.pad(counts_np, ((0, pad), (0, 0)))
         t0 = time.time()
-        frame = frame0
+        frame = jnp.zeros(K * flat, jnp.int32)
         for k in range(n_chunks):
             sl = slice(k * CHUNK, (k + 1) * CHUNK)
             frame = run_wavefront_chunk(
-                frame, packed_d, jnp.asarray(starts_np[sl]),
-                jnp.asarray(counts_np[sl]), res, pal, config)
+                frame, packed_d, jnp.asarray(ws[sl]),
+                jnp.asarray(wc[sl]), res, pal, config)
         frame.block_until_ready()
         t_scan = time.time() - t0
 
@@ -132,13 +133,13 @@ def main():
         t_cdef = time.time() - t0
 
         t0 = time.time()
-        host = jax.device_get(outs)
+        jax.device_get(outs)
         t_fetch = time.time() - t0
-        tot = t_res + t_pack + t_scan + t_cdef + t_fetch
-        print(f"iter {it}: res {t_res:.2f}s pack {t_pack:.2f}s "
-              f"scan({n_chunks}ch) {t_scan:.2f}s cdef+slice {t_cdef:.2f}s "
-              f"fetch {t_fetch:.2f}s total {tot:.2f}s "
-              f"({len(drs)/tot:.2f} fps)", flush=True)
+        tot = t_resc + t_resu + t_pack + t_scan + t_cdef + t_fetch
+        print(f"iter {it}: S={S} resC {t_resc:.2f} resU {t_resu:.2f} "
+              f"pack {t_pack:.2f} scan({n_chunks}ch) {t_scan:.2f} "
+              f"cdef+slice {t_cdef:.2f} fetch {t_fetch:.2f} "
+              f"total {tot:.2f}s ({len(drs)/tot:.2f} fps)", flush=True)
 
 
 if __name__ == "__main__":
