@@ -8,20 +8,22 @@ frame as ONE `lax.scan` over wavefront levels (no host round trips).
 Design (round 4; fixes the per-frame recompile + per-step compute
 pathologies of the per-(w,h)-class executor):
 
-* Blocks are grouped into FOUR fixed shape buckets T in {8, 16, 32, 64}
-  by max(w, h); block dims (w, h, log2 w, log2 h) travel as per-lane
-  DATA, not as static shapes.  The jit key is therefore stable across
-  frames of one stream: (bucket capacities, bit depth, subsampling,
-  edge-filter enable, padded level count) — all quantized to powers of
-  two, so the whole stream compiles once (the persistent compilation
-  cache then makes it free across runs).
+* Blocks are grouped into fixed shape buckets T in {16, 32, 64} by
+  max(w, h); block dims (w, h, log2 w, log2 h) travel as per-lane
+  DATA, not as static shapes.  Levels are split into fixed-lane-cap
+  WINDOWS (make_windows), lockstep across buckets, and the scan runs
+  in fixed CHUNK-step slices — so the jit key is (window caps, packed
+  row caps, bit depth, subsampling, edge-filter enable): stable across
+  the frames of a stream AND small enough to compile once (the
+  persistent compilation cache then makes it free across runs).
 * Each scan step applies each bucket under `lax.cond(count > 0, ...)`;
-  empty buckets and the rare expensive families (directional with its
+  empty windows and the rare expensive families (directional with its
   LUT machinery, filter-intra's serial patch recursion, palette, CfL)
-  are skipped at RUNTIME, not traced away — so levels that only carry
+  are skipped at RUNTIME, not traced away — so windows that only carry
   cheap DC/V/H lanes cost microseconds instead of the full predictor.
-* Scatters into the flat frame buffer run in place on the scan carry
-  (measured at HBM speed on v5e; see round-4 commit notes).
+* Residuals arrive as ONE packed pixel buffer (int16 for 8-bit) with
+  per-lane pixel offsets; multi-frame batches (run_device_batch) share
+  one scan with per-frame base offsets.
 
 All int32 (AV1 decode is integer-exact); bit-exactness is enforced by
 tests/test_wavefront.py against the NumPy executor, which in turn is

@@ -272,10 +272,14 @@ class DeviceRecon:
                     tuple(p.astype(jnp.int32) for p in planes), gates,
                     self.sch.bd, mesh))
         y_pri, y_sec, uv_pri, uv_sec, damping, subx, suby = gates
+        import jax
+        import os as _os
+        use_pallas = (_os.environ.get("AV1DEC_PALLAS", "0") == "1" and
+                      jax.default_backend() != "cpu")
         outs = cdef_dev._cdef_all(
             tuple(planes), jnp.asarray(y_pri), jnp.asarray(y_sec),
             jnp.asarray(uv_pri), jnp.asarray(uv_sec), self.sch.bd,
-            damping, subx, suby)
+            damping, subx, suby, use_pallas)
         return list(outs)
 
     def run(self):
