@@ -148,3 +148,92 @@ def read_temporal_units(path: str) -> Iterator[Tuple[int, bytes]]:
         yield from read_annexb(path)
     else:
         yield 0, open(path, "rb").read()
+
+
+def index_keyframes(path: str) -> List[int]:
+    """Stream indexer [SURVEY §2.4 GOP sharding]: temporal-unit indices
+    that start a new keyframe-delimited GOP.
+
+    Peeks each TU's first frame-header OBU: a shown KEY frame starts
+    with show_existing_frame=0, frame_type=KEY (bits 0,00) in the
+    uncompressed header [SPEC §5.9.2].  (Streams with
+    reduced_still_picture_header are all-keyframe by construction.)
+    """
+    idx = []
+    for i, (_, tu) in enumerate(read_temporal_units(path)):
+        pos = 0
+        is_key = False
+        while pos < len(tu):
+            b0 = tu[pos]
+            typ = (b0 >> 3) & 0xF
+            ext = (b0 >> 2) & 1
+            has_size = (b0 >> 1) & 1
+            hdr_end = pos + 1 + ext
+            if has_size:
+                size, body = leb128_read(tu, hdr_end)
+            else:
+                size, body = len(tu) - hdr_end, hdr_end
+            if typ in (1, 6) and size > 0:  # FRAME_HEADER / FRAME
+                first = tu[body]
+                show_existing = first >> 7
+                frame_type = (first >> 5) & 3
+                is_key = (show_existing == 0 and frame_type == 0)
+                break
+            pos = body + size
+        if is_key or i == 0:
+            idx.append(i)
+    return idx
+
+
+def _decode_gop(args):
+    path, start, end, cfg_kw = args
+    from av1dec_tpu.api import Decoder
+    from av1dec_tpu.config import DecoderConfig
+    dec = Decoder(DecoderConfig(**cfg_kw))
+    out = []
+    for i, (_, tu) in enumerate(read_temporal_units(path)):
+        if i < start:
+            continue
+        if i >= end:
+            break
+        for fr in dec.decode(tu):
+            out.append((fr.planes, fr.bit_depth, fr.subsampling,
+                        fr.order_hint, fr.frame_type))
+    dec.close()
+    return out
+
+
+def decode_gops_parallel(path: str, workers: int = 2, config=None):
+    """GOP-parallel decode: keyframe-delimited GOPs are fully
+    independent [SPEC §7.20 KEY refresh], so they decode concurrently
+    in worker processes [SURVEY §2.4 "GOP/keyframe sharding"].
+
+    Returns frames in stream order (list of OutputFrame).
+    """
+    import multiprocessing as mp
+
+    from av1dec_tpu.api import OutputFrame
+
+    keys = index_keyframes(path)
+    n_tus = sum(1 for _ in read_temporal_units(path))
+    bounds = keys + [n_tus]
+    cfg_kw = {"use_spec_kernels": True}
+    if config is not None:
+        import dataclasses
+        cfg_kw = dataclasses.asdict(config)
+    jobs = [(path, bounds[i], bounds[i + 1], cfg_kw)
+            for i in range(len(bounds) - 1)]
+    if workers <= 1 or len(jobs) <= 1:
+        chunks = [_decode_gop(j) for j in jobs]
+    else:
+        # spawn: fork is unsafe once JAX threads exist in the parent
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(workers, len(jobs))) as pool:
+            chunks = pool.map(_decode_gop, jobs)
+    out = []
+    for chunk in chunks:
+        for planes, bd, ss, oh, ft in chunk:
+            out.append(OutputFrame(planes=planes, bit_depth=bd,
+                                   subsampling=ss, order_hint=oh,
+                                   frame_type=ft))
+    return out

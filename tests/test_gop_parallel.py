@@ -1,0 +1,42 @@
+"""GOP/keyframe sharding: keyframe-delimited GOPs decode independently
+in worker processes, output identical to serial decode
+[SURVEY §2.4 "GOP/keyframe sharding"]."""
+import numpy as np
+
+from av1dec_tpu import container
+from av1dec_tpu.api import decode_file
+from av1dec_tpu.config import DecoderConfig
+
+CFG = DecoderConfig(use_spec_kernels=True)
+
+
+def _gop_stream(tmp_path_factory=None):
+    import aomffi
+    from conftest import _synth_frame
+    path = "/tmp/pytest_streams/gops.ivf"
+    import os
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        rng = np.random.default_rng(9)
+        enc = aomffi.AomEncoder(128, 96, cpu_used=9, kf_max_dist=4,
+                                lag=0, bitrate_kbps=300)
+        pkts = []
+        for t in range(12):
+            pkts += enc.encode(*_synth_frame(128, 96, t, rng), pts=t)
+        pkts += enc.flush()
+        enc.close()
+        aomffi.write_ivf(path, pkts, 128, 96)
+    return path
+
+
+def test_keyframe_index():
+    path = _gop_stream()
+    assert container.index_keyframes(path) == [0, 4, 8]
+
+
+def test_gop_parallel_matches_serial():
+    path = _gop_stream()
+    a = decode_file(path, CFG)
+    b = container.decode_gops_parallel(path, workers=2)
+    assert len(a) == len(b) == 12
+    assert [x.md5() for x in a] == [y.md5() for y in b]
