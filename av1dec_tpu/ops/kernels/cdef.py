@@ -283,8 +283,10 @@ def _cdef_tile_kernel(pad_hbm, pri_ref, sec_ref, dir_ref, psh_ref,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     i = pl.program_id(0)
+    # DMA a 16-row band (Mosaic requires 8-row-aligned slice dims; the
+    # +4-halo band is 12) — rows [i*TH, i*TH+16) of the padded array
     cp = pltpu.make_async_copy(
-        pad_hbm.at[pl.ds(i * _TH, _TH + 4), :], scratch, sem)
+        pad_hbm.at[pl.ds(i * _TH, _TH + 8), :], scratch, sem)
     cp.start()
     cp.wait()
     Wp = out_ref.shape[1]
@@ -350,7 +352,9 @@ def _filter_plane_pallas(plane_arr, pri_px, sec_px, dir_px, pri_shift,
         pad = pad.at[2:H + 2, 2:W + 2].set(plane_arr.astype(jnp.int32))
     Hp = -(-H // _TH) * _TH
     Wp = -(-W // 128) * 128
-    padded = jnp.full((Hp + 4, Wp + 4), CDEF_VERY_LARGE, jnp.int32)
+    # +16 rows so every 16-row DMA band stays in bounds; +128 cols so
+    # the halo'd width is lane-aligned
+    padded = jnp.full((Hp + 16, Wp + 128), CDEF_VERY_LARGE, jnp.int32)
     padded = padded.at[:H + 4, :W + 4].set(pad)
 
     def grow(a, fill=0):
@@ -369,7 +373,7 @@ def _filter_plane_pallas(plane_arr, pri_px, sec_px, dir_px, pri_shift,
                  [bspec] * 8,
         out_specs=bspec,
         scratch_shapes=[
-            pltpu.VMEM((_TH + 4, Wp + 4), jnp.int32),
+            pltpu.VMEM((_TH + 8, Wp + 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

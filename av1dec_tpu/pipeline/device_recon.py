@@ -313,8 +313,11 @@ def run_device_batch(drs):
     Pcap = {t: _cap(caps, "P", t, max(dr._pal_tot[t] for dr in drs))
             for t in BUCKETS}
 
-    # packed residuals at a uniform per-frame stride
-    bufs = [dr._residuals_flat_np() for dr in drs]
+    # packed residuals at a uniform per-frame stride (threaded: the
+    # itx lanes are large numpy ops that release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as ex:
+        bufs = list(ex.map(lambda dr: dr._residuals_flat_np(), drs))
     rf = caps["RF"]
     rf[0] = max(rf[0], _pow2(max(max(len(b) for b in bufs), 1)))
     res_np = np.zeros(K * rf[0], bufs[0].dtype)
