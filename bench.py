@@ -140,14 +140,21 @@ def main():
                    for m, r in zip(planes, refp))
     log(f"bit-exact gate: {'PASS' if bad == 0 else f'FAIL ({bad} px)'}")
 
-    # --- timed decode (pipelined, steady state)
+    # --- timed decode (pipelined, steady state).  AV1DEC_PROFILE=<dir>
+    # wraps the timed loop in a jax.profiler trace (xplane dump for
+    # tensorboard / xprof) [SURVEY §5.1 tracing].
+    import contextlib
+    prof_dir = os.environ.get("AV1DEC_PROFILE")
+    prof = (jax.profiler.trace(prof_dir) if prof_dir
+            else contextlib.nullcontext())
     best = 0.0
-    for it in range(3):
-        t0 = time.time()
-        decode_stream_pipelined(datas, fetch=True)
-        fps = n / (time.time() - t0)
-        log(f"timed iter {it}: {fps:.2f} fps")
-        best = max(best, fps)
+    with prof:
+        for it in range(3):
+            t0 = time.time()
+            decode_stream_pipelined(datas, fetch=True)
+            fps = n / (time.time() - t0)
+            log(f"timed iter {it}: {fps:.2f} fps")
+            best = max(best, fps)
 
     # --- baseline: libaom decoder on the same stream
     dec = aomffi.AomDecoder()
