@@ -117,7 +117,12 @@ class Decoder:
             t0 = _time.monotonic()
             planes = None
             path = "host"
-            if refs is None and self._device_enabled():
+            # auto mode: small frames stay on host — device dispatch
+            # (and a possible cold compile) dwarfs their pixel work
+            big_enough = (self.config.platform is not None or
+                          hdr["frame_width"] * hdr["frame_height"] >=
+                          self.config.min_device_pixels)
+            if refs is None and big_enough and self._device_enabled():
                 from av1dec_tpu.pipeline.device_recon import DeviceRecon
                 dr = DeviceRecon(seq, hdr, plans, config=self.config)
                 if dr.supported():

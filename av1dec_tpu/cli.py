@@ -46,16 +46,31 @@ def main(argv=None):
                     help="print decode-rate summary")
     ap.add_argument("--threads", type=int, default=1,
                     help="entropy-decode worker threads (tile-parallel)")
-    ap.add_argument("--device", choices=["auto", "off", "cpu", "tpu"],
+    ap.add_argument("--device",
+                    choices=["auto", "off", "cpu", "tpu", "gpu"],
                     default="auto",
                     help="pixel-pipeline device path: auto (accelerator "
-                         "if present), off (NumPy spec model), or a "
-                         "specific JAX platform")
+                         "if present and the frame is large enough), "
+                         "off (NumPy spec model), or a specific JAX "
+                         "platform (also selects the JAX backend)")
     ap.add_argument("--no-grain", action="store_true",
                     help="skip film-grain synthesis at output")
     ap.add_argument("--stats", action="store_true",
                     help="print per-frame decode records (JSON lines)")
     args = ap.parse_args(argv)
+
+    # device-path environment, set BEFORE any jax import: the
+    # persistent compilation cache (without it every CLI run pays the
+    # full per-geometry compile — minutes on a remote TPU), and the
+    # JAX backend when an explicit platform was requested (the path
+    # toggle alone would otherwise still run pixel work on whatever
+    # backend JAX picked)
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "1")
+    if args.device in ("cpu", "tpu", "gpu"):
+        os.environ.setdefault("JAX_PLATFORMS", args.device)
 
     from av1dec_tpu.api import Decoder
     from av1dec_tpu.config import DecoderConfig

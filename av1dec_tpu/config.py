@@ -40,3 +40,9 @@ class DecoderConfig:
 
     # Run pixel work on this JAX platform ("tpu", "cpu", None = default).
     platform: Optional[str] = None
+
+    # In auto device mode, frames smaller than this (luma pixels) stay
+    # on the host path: per-geometry compile + dispatch latency through
+    # a remote accelerator dwarfs the compute for small frames.  An
+    # explicit `platform` bypasses the heuristic.
+    min_device_pixels: int = 230_000

@@ -17,6 +17,8 @@ from typing import Iterator, List, Tuple
 def leb128_read(buf: bytes, pos: int) -> Tuple[int, int]:
     v = 0
     for i in range(8):
+        if pos >= len(buf):
+            raise ValueError("truncated stream: leb128 past end of buffer")
         b = buf[pos]
         v |= (b & 0x7F) << (7 * i)
         pos += 1
@@ -92,19 +94,27 @@ def _strip_obu_size(obu_stream: bytes) -> List[bytes]:
 
 def read_annexb(path: str) -> Iterator[Tuple[int, bytes]]:
     """Yield (index, temporal_unit-as-low-overhead-OBUs) from an
-    Annex-B file [SPEC Annex B]."""
+    Annex-B file [SPEC Annex B].  Raises ValueError on truncated
+    framing (fault-tolerance tier: file-level demux fails as cleanly
+    as TU-level decode)."""
     data = open(path, "rb").read()
     pos = 0
     idx = 0
     while pos < len(data):
         tu_size, pos = leb128_read(data, pos)
         tu_end = pos + tu_size
+        if tu_end > len(data):
+            raise ValueError("truncated stream: temporal unit framing")
         out = bytearray()
         while pos < tu_end:
             fu_size, pos = leb128_read(data, pos)
             fu_end = pos + fu_size
+            if fu_end > tu_end:
+                raise ValueError("truncated stream: frame unit framing")
             while pos < fu_end:
                 obu_len, pos = leb128_read(data, pos)
+                if pos + obu_len > fu_end:
+                    raise ValueError("truncated stream: OBU framing")
                 out += _rewrap_obu(data[pos: pos + obu_len])
                 pos += obu_len
             pos = fu_end
@@ -125,16 +135,45 @@ def write_annexb(path: str, tus: List[bytes]) -> None:
             f.write(leb128(len(fu_block)) + fu_block)
 
 
+def _walks_as_obu_stream(data: bytes) -> bool:
+    """True if `data` parses as a chain of size-bearing low-overhead
+    OBUs covering the buffer exactly (the probe for raw OBU files)."""
+    pos, n = 0, len(data)
+    seen = 0
+    while pos < n:
+        b0 = data[pos]
+        if b0 >> 7:          # forbidden bit
+            return False
+        typ = (b0 >> 3) & 0xF
+        if typ == 0 or (9 <= typ <= 14):   # reserved types
+            return False
+        ext = (b0 >> 2) & 1
+        has_size = (b0 >> 1) & 1
+        if not has_size:     # raw streams carry size fields
+            return False
+        try:
+            size, body = leb128_read(data, pos + 1 + ext)
+        except ValueError:
+            return False
+        if body + size > n:
+            return False
+        pos = body + size
+        seen += 1
+    return seen > 0
+
+
 def detect_format(path: str) -> str:
-    """'ivf' | 'annexb' | 'obu' (raw low-overhead stream)."""
-    head = open(path, "rb").read(32)
-    if head[:4] == b"DKIF":
+    """'ivf' | 'annexb' | 'obu' (raw low-overhead stream).
+
+    A small leading leb128 in an Annex-B file can also parse as an OBU
+    header byte, so the OBU probe verifies the whole buffer chains as
+    size-bearing OBUs to EOF before classifying as 'obu'."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"DKIF":
         return "ivf"
-    # Annex B starts with a leb128 temporal_unit_size; a raw OBU stream
-    # starts with an OBU header whose forbidden bit is 0 and whose type
-    # is TEMPORAL_DELIMITER (2) or SEQUENCE_HEADER (1).
-    if head and (head[0] >> 7) == 0 and ((head[0] >> 3) & 0xF) in (1, 2) \
-            and (head[0] & 1) == 0 and len(head) > 1:
+    if data and (data[0] >> 7) == 0 and ((data[0] >> 3) & 0xF) in (1, 2) \
+            and _walks_as_obu_stream(data):
         return "obu"
     return "annexb"
 
@@ -173,11 +212,18 @@ def index_keyframes(path: str) -> List[int]:
                 size, body = leb128_read(tu, hdr_end)
             else:
                 size, body = len(tu) - hdr_end, hdr_end
-            if typ in (1, 6) and size > 0:  # FRAME_HEADER / FRAME
+            # FRAME_HEADER (3) / FRAME (6) only — a repeated SEQUENCE
+            # HEADER (1) would false-positive as a key frame.  Require
+            # the show_frame bit too: a forward keyframe (KEY with
+            # show_frame=0) is re-shown later via show_existing_frame
+            # and is NOT a safe split point.
+            if typ in (3, 6) and size > 0 and body < len(tu):
                 first = tu[body]
                 show_existing = first >> 7
                 frame_type = (first >> 5) & 3
-                is_key = (show_existing == 0 and frame_type == 0)
+                show_frame = (first >> 4) & 1
+                is_key = (show_existing == 0 and frame_type == 0 and
+                          show_frame == 1)
                 break
             pos = body + size
         if is_key or i == 0:
@@ -218,9 +264,19 @@ def decode_gops_parallel(path: str, workers: int = 2, config=None):
     n_tus = sum(1 for _ in read_temporal_units(path))
     bounds = keys + [n_tus]
     cfg_kw = {"use_spec_kernels": True}
+    max_frames = 0
     if config is not None:
         import dataclasses
         cfg_kw = dataclasses.asdict(config)
+        # max_frames is a whole-stream limit: applying it per GOP
+        # worker would diverge from serial decode_file semantics, so
+        # strip it here and apply once at the merge below
+        max_frames = cfg_kw.pop("max_frames", 0) or 0
+        # workers default to the host path: N processes initializing
+        # an accelerator concurrently is slow (and can wedge a
+        # remote-tunnel TPU); device use must be explicit
+        if cfg_kw.get("platform") is None:
+            cfg_kw["platform"] = "off"
     jobs = [(path, bounds[i], bounds[i + 1], cfg_kw)
             for i in range(len(bounds) - 1)]
     if workers <= 1 or len(jobs) <= 1:
@@ -236,4 +292,6 @@ def decode_gops_parallel(path: str, workers: int = 2, config=None):
             out.append(OutputFrame(planes=planes, bit_depth=bd,
                                    subsampling=ss, order_hint=oh,
                                    frame_type=ft))
+    if max_frames:
+        out = out[:max_frames]
     return out

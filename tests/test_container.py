@@ -75,3 +75,46 @@ def test_operating_point_config(spec_stream):
     b = decode_file(src, DecoderConfig(use_spec_kernels=True,
                                        operating_point=3))
     assert [x.md5() for x in a] == [y.md5() for y in b]
+
+
+def test_truncated_annexb_raises_valueerror(spec_stream):
+    """File-level demux fails as cleanly as TU-level decode."""
+    src = spec_stream("multi")
+    tus = [d for _, d in container.read_ivf(src)]
+    path = "/tmp/pytest_streams/multi_trunc.annexb"
+    container.write_annexb(path, tus)
+    data = open(path, "rb").read()
+    for cut in (len(data) // 3, len(data) - 2):
+        with open(path + ".cut", "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(ValueError):
+            list(container.read_temporal_units(path + ".cut"))
+
+
+def test_index_keyframes_skips_seq_header_and_forward_keys(tmp_path):
+    """index_keyframes must key off FRAME/FRAME_HEADER OBUs (type 3/6),
+    not a repeated SEQUENCE_HEADER (type 1), and must require the
+    show_frame bit (a forward keyframe is not a safe split point)."""
+    def obu(typ, payload):
+        return bytes([typ << 3 | 0x02]) + container.leb128(len(payload)) \
+            + payload
+
+    td = obu(2, b"")
+    # sequence header whose first payload byte would parse as
+    # frame_type=KEY/show_frame=1 if misread as a frame header
+    seq_hdr = obu(1, bytes([0x10, 0x00, 0x00]))
+    key_shown = obu(6, bytes([0x10]))       # 0,00,1 -> KEY shown
+    key_fwd = obu(6, bytes([0x00]))         # 0,00,0 -> KEY, not shown
+    inter = obu(6, bytes([0x30]))           # 0,01,1 -> INTER shown
+    tus = [td + seq_hdr + key_shown,        # 0: real keyframe
+           td + seq_hdr + inter,            # 1: repeated seq hdr + inter
+           td + key_fwd,                    # 2: forward keyframe
+           td + key_shown]                  # 3: real keyframe
+    path = "/tmp/pytest_streams/kf_index.ivf"
+    import struct
+    with open(path, "wb") as f:
+        f.write(b"DKIF" + struct.pack("<HH4sHHIIII", 0, 32, b"AV01",
+                                      64, 64, 30, 1, len(tus), 0))
+        for i, tu in enumerate(tus):
+            f.write(struct.pack("<IQ", len(tu), i) + tu)
+    assert container.index_keyframes(path) == [0, 3]
