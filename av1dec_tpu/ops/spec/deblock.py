@@ -68,23 +68,45 @@ def _thresholds(lvl, sharpness):
 
 
 def _tx_maps(plans, plane, pw4, ph4):
-    """Rasterize per-4x4 tx width/height + tx-origin masks for a plane."""
-    txw = np.ones((ph4, pw4), np.int32)
-    txh = np.ones((ph4, pw4), np.int32)
-    edge_v = np.zeros((ph4, pw4), bool)
-    edge_h = np.zeros((ph4, pw4), bool)
-    tx = plans.tx
+    """Rasterize per-4x4 tx width/height + tx-origin masks for a plane.
+
+    Vectorized: transform blocks tile the plane without overlap, so a
+    2-D difference array + cumulative sum reconstructs each piecewise-
+    constant rect fill exactly (one np.add.at per field instead of a
+    Python loop over every tx record)."""
+    tx = np.asarray(plans.tx)
     sel = tx[:, 0] == plane
-    for rec in tx[sel]:
-        x4, y4, tsz = int(rec[1]), int(rec[2]), int(rec[3])
-        w4, h4 = TXW4[tsz], TXH4[tsz]
-        if x4 >= pw4 or y4 >= ph4:
-            continue
-        x1, y1 = min(x4 + w4, pw4), min(y4 + h4, ph4)
-        txw[y4:y1, x4:x1] = w4
-        txh[y4:y1, x4:x1] = h4
-        edge_v[y4:y1, x4] = True
-        edge_h[y4, x4:x1] = True
+    x4 = tx[sel, 1].astype(np.int64)
+    y4 = tx[sel, 2].astype(np.int64)
+    tsz = tx[sel, 3].astype(np.int64)
+    keep = (x4 < pw4) & (y4 < ph4)
+    x4, y4, tsz = x4[keep], y4[keep], tsz[keep]
+    # tsz 19 = lossless 4x4 WHT (1 cell); others per the size LUTs
+    w4 = np.asarray(TXW4 + [1], np.int64)[tsz]
+    h4 = np.asarray(TXH4 + [1], np.int64)[tsz]
+    x1 = np.minimum(x4 + w4, pw4)
+    y1 = np.minimum(y4 + h4, ph4)
+
+    def rect_fill(vals):
+        d = np.zeros((ph4 + 1, pw4 + 1), np.int64)
+        np.add.at(d, (y4, x4), vals)
+        np.add.at(d, (y4, x1), -vals)
+        np.add.at(d, (y1, x4), -vals)
+        np.add.at(d, (y1, x1), vals)
+        return d.cumsum(0).cumsum(1)[:ph4, :pw4]
+
+    cover = rect_fill(np.ones(len(x4), np.int64))
+    txw = np.where(cover > 0, rect_fill(w4), 1).astype(np.int32)
+    txh = np.where(cover > 0, rect_fill(h4), 1).astype(np.int32)
+    # origin masks: column runs (edge_v) / row runs (edge_h)
+    dv = np.zeros((ph4 + 1, pw4), np.int64)
+    np.add.at(dv, (y4, x4), 1)
+    np.add.at(dv, (y1, x4), -1)
+    edge_v = dv.cumsum(0)[:ph4] > 0
+    dh = np.zeros((ph4, pw4 + 1), np.int64)
+    np.add.at(dh, (y4, x4), 1)
+    np.add.at(dh, (y4, x1), -1)
+    edge_h = dh.cumsum(1)[:, :pw4] > 0
     return txw, txh, edge_v, edge_h
 
 
@@ -209,14 +231,25 @@ def _filter_lines(P, Q, length, limit, blimit, thresh, bd):
     return NP, NQ
 
 
-def deblock_frame(planes, seq, hdr, plans, bd):
-    """Apply the loop filter in place to `planes` (list of int arrays)."""
+def build_deblock_maps(seq, hdr, plans, num_planes):
+    """Dense per-edge parameter maps for the whole frame.
+
+    Returns None when deblocking is disabled for this frame, else a
+    list (per plane) of ((flen_v, lvl_v), (flen_h, lvl_h)) int32 cell
+    maps in *pass orientation*: map[a, k] holds the decision for the
+    edge at position 4k along the filtering axis at cell row `a`
+    (flen 0 = no filtering; lvl is the post-neighbor-fallback filter
+    level the thresholds derive from).  The same maps drive both the
+    host filter below and the device kernel
+    (av1dec_tpu/ops/kernels/deblock.py) so their edge decisions are
+    identical by construction.  [SPEC §7.14.2-7.14.5]
+    """
     lf = hdr["lf"]
     levels = lf["level"]
     if hdr.get("coded_lossless") or hdr.get("allow_intrabc"):
-        return planes
-    sharpness = lf["sharpness"]
-    num_planes = len(planes)
+        return None
+    if not any(levels):
+        return None
     mi_rows, mi_cols = plans.mi_rows, plans.mi_cols
     bsz = plans.grid("bsize").astype(np.int32)
     skip = plans.grid("skip").astype(np.int32)
@@ -225,14 +258,9 @@ def deblock_frame(planes, seq, hdr, plans, bd):
     bw4 = np.asarray(MI_W, np.int32)[bsz]
     bh4 = np.asarray(MI_H, np.int32)[bsz]
     mi_lvls = {}
+    out = []
 
     for plane in range(num_planes):
-        if plane == 0 and levels[0] == 0 and levels[1] == 0:
-            continue
-        if plane == 1 and levels[2] == 0:
-            continue
-        if plane == 2 and levels[3] == 0:
-            continue
         subx = seq.get("subsampling_x", 1) if plane else 0
         suby = seq.get("subsampling_y", 1) if plane else 0
         # 4x4 units whose origin lies at/beyond the CROPPED plane dims
@@ -242,10 +270,21 @@ def deblock_frame(planes, seq, hdr, plans, bd):
         pw = (hdr["frame_width"] + subx) >> subx
         ph = (hdr["frame_height"] + suby) >> suby
         pw4, ph4 = (pw + 3) >> 2, (ph + 3) >> 2
+        plane_off = ((plane == 0 and levels[0] == 0 and levels[1] == 0)
+                     or (plane == 1 and levels[2] == 0)
+                     or (plane == 2 and levels[3] == 0))
+        if plane_off:
+            out.append((
+                (np.zeros((ph4, pw4), np.int32),
+                 np.zeros((ph4, pw4), np.int32)),
+                (np.zeros((pw4, ph4), np.int32),
+                 np.zeros((pw4, ph4), np.int32))))
+            continue
         txw, txh, edge_v, edge_h = _tx_maps(plans, plane, pw4, ph4)
         # luma mi coords for each plane 4x4 cell (bottom-right of group)
         mc = np.minimum((np.arange(pw4) << subx) | subx, mi_cols - 1)
         mr = np.minimum((np.arange(ph4) << suby) | suby, mi_rows - 1)
+        plane_maps = []
         for pass_ in range(2):
             idx = pass_ if plane == 0 else plane + 1
             if idx not in mi_lvls:
@@ -259,46 +298,64 @@ def deblock_frame(planes, seq, hdr, plans, bd):
                 edge = edge_v
                 bdim = bw4[np.ix_(mr, mc)]
                 pos_mi = mc[None, :].repeat(ph4, 0)
+                pos_axis = mc
             else:
                 dim_cells = txh
                 edge = edge_h
                 bdim = bh4[np.ix_(mr, mc)]
                 pos_mi = mr[:, None].repeat(pw4, 1)
+                pos_axis = mr
             # block origin (luma mi) along the axis; aligned to block dims
             origin = pos_mi - (pos_mi % np.maximum(bdim, 1))
-            arr = planes[plane].astype(np.int64)
             if pass_ == 1:
-                arr = arr.T
                 edge = edge.T
                 dim_cells = dim_cells.T
                 lvl_cells = lvl_cells.T
                 skip_cells = skip_cells.T
                 origin = origin.T
-            n4_edge, n4_along = dim_cells.shape[1], dim_cells.shape[0]
+            n4 = dim_cells.shape[1]
+            lvl = lvl_cells.astype(np.int32)
+            lvl[:, 1:] = np.where(lvl[:, 1:] == 0, lvl[:, :-1], lvl[:, 1:])
+            # block edge: cur block origin strictly beyond prev cell
+            blk_edge = np.zeros_like(edge)
+            blk_edge[:, 1:] = origin[:, 1:] > pos_axis[None, :n4 - 1]
+            apply = edge & (lvl > 0)
+            apply[:, 1:] &= (~skip_cells[:, 1:] | ~skip_cells[:, :-1] |
+                             blk_edge[:, 1:])
+            apply[:, 0] = False  # frame-boundary edge is never filtered
+            mind = dim_cells.copy()
+            mind[:, 1:] = np.minimum(dim_cells[:, 1:], dim_cells[:, :-1])
+            mind *= 4
+            if plane == 0:
+                flen = np.where(mind >= 16, 14,
+                                np.where(mind >= 8, 8, 4))
+            else:
+                flen = np.where(mind >= 8, 6, 4)
+            flen = np.where(apply, flen, 0).astype(np.int32)
+            plane_maps.append((flen, lvl))
+        out.append(tuple(plane_maps))
+    return out
+
+
+def deblock_frame(planes, seq, hdr, plans, bd):
+    """Apply the loop filter in place to `planes` (list of int arrays)."""
+    maps = build_deblock_maps(seq, hdr, plans, len(planes))
+    if maps is None:
+        return planes
+    sharpness = hdr["lf"]["sharpness"]
+    for plane in range(len(planes)):
+        arr = planes[plane].astype(np.int64)
+        for pass_ in range(2):
+            flen_map, lvl_map = maps[plane][pass_]
+            if pass_ == 1:
+                arr = arr.T
+            n4_along, n4_edge = flen_map.shape
             npx = arr.shape[0]
+            limit_m, blimit_m, thresh_m = _thresholds(lvl_map, sharpness)
             for cx in range(1, n4_edge):
-                e = edge[:, cx]
-                if not e.any():
+                flen = flen_map[:, cx]
+                if not flen.any():
                     continue
-                lvl = lvl_cells[:, cx].copy()
-                prev_lvl = lvl_cells[:, cx - 1]
-                lvl = np.where(lvl == 0, prev_lvl, lvl)
-                # block edge: cur block origin strictly beyond prev cell
-                prev_pos = (mc[cx - 1] if pass_ == 0 else mr[cx - 1])
-                blk_edge = origin[:, cx] > prev_pos
-                apply = e & (lvl > 0) & \
-                    (~skip_cells[:, cx] | ~skip_cells[:, cx - 1] | blk_edge)
-                if not apply.any():
-                    continue
-                mind = np.minimum(dim_cells[:, cx],
-                                  dim_cells[:, cx - 1]) * 4
-                if plane == 0:
-                    flen = np.where(mind >= 16, 14,
-                                    np.where(mind >= 8, 8, 4))
-                else:
-                    flen = np.where(mind >= 8, 6, 4)
-                flen = np.where(apply, flen, 0)
-                limit, blimit, thresh = _thresholds(lvl, sharpness)
                 # expand per-cell -> per-pixel-row
                 rows = min(npx, n4_along * 4)
 
@@ -312,11 +369,13 @@ def deblock_frame(planes, seq, hdr, plans, bd):
                 hi = min(arr.shape[1], X + 7)
                 Q = np.zeros((rows, 7), np.int64)
                 Q[:, : hi - X] = arr[:rows, X:hi]
-                NP, NQ = _filter_lines(P, Q, ex(flen), ex(limit),
-                                       ex(blimit), ex(thresh), bd)
+                NP, NQ = _filter_lines(P, Q, ex(flen),
+                                       ex(limit_m[:, cx]),
+                                       ex(blimit_m[:, cx]),
+                                       ex(thresh_m[:, cx]), bd)
                 arr[:rows, lo:X] = NP[:, 7 - (X - lo):]
                 arr[:rows, X:hi] = NQ[:, : hi - X]
             if pass_ == 1:
                 arr = arr.T
-            planes[plane][...] = arr.astype(planes[plane].dtype)
+        planes[plane][...] = arr.astype(planes[plane].dtype)
     return planes

@@ -87,6 +87,7 @@ class DeviceRecon:
     def __init__(self, seq, hdr, plans, config=None):
         from av1dec_tpu.pipeline.recon import FrameRecon
         self.config = config
+        self._pre_cdef_dev = None
         self._fr = FrameRecon(seq, hdr, plans)
         self.sch = wf.build_schedule(seq, hdr, plans, self._fr._filter_type)
         self.seq, self.hdr, self.plans = seq, hdr, plans
@@ -106,19 +107,16 @@ class DeviceRecon:
                 self._pal_tot[t] += len(self.sch.pal_preds.get(key, []))
 
     def supported(self):
-        if self.sch is None:
-            return False
-        hdr = self.hdr
-        lf = hdr.get("lf") or {}
-        if any(lf.get("level", [0, 0, 0, 0])):
-            return False  # deblock not on device yet
-        if hdr.get("use_superres"):
-            return False
-        lr_types = (hdr.get("lr") or {}).get("frame_restoration_type",
-                                             [0, 0, 0])
-        if any(lr_types):
-            return False
-        return True
+        # all-intra frames run fully on device: wavefront + deblock +
+        # CDEF; superres/LR (rare) are finished on host post-fetch
+        return self.sch is not None
+
+    def _needs_pre_cdef(self):
+        """Loop restoration reads the pre-CDEF (post-deblock) pixels;
+        such frames fetch both buffers and finish LR on host."""
+        lr_types = (self.hdr.get("lr") or {}).get(
+            "frame_restoration_type", [0, 0, 0])
+        return any(lr_types)
 
     # -- residuals ---------------------------------------------------------
     def _residuals_flat_np(self):
@@ -225,7 +223,9 @@ class DeviceRecon:
         return jnp.asarray(out)
 
     def run_device(self):
-        """Returns the final planes as DEVICE arrays (async)."""
+        """Returns the final planes as DEVICE arrays (async).  When the
+        frame uses loop restoration, `self._pre_cdef_dev` additionally
+        holds the post-deblock pre-CDEF planes (LR input, host tail)."""
         import jax.numpy as jnp
         from av1dec_tpu.ops.kernels.wavefront import run_wavefront
         sch = self.sch
@@ -237,11 +237,31 @@ class DeviceRecon:
         frame0 = jnp.zeros(sch.flat_len + FLAT_PAD, jnp.int32)
         frame = run_wavefront(frame0, inputs, res, pal, config)
         planes = self._slice_planes(frame, 0)
-        # CDEF on device (same dispatch chain, no host round trip)
+        odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
+        # loop-filter chain on device (same dispatch chain, no host
+        # round trip): deblock -> CDEF [SPEC §7.14, §7.15]
+        planes = self._deblock_device(jnp, planes)
+        self._pre_cdef_dev = [p.astype(odt) for p in planes] \
+            if self._needs_pre_cdef() else None
         planes = self._cdef_device(jnp, planes)
         # narrow for the d2h transfer (link bandwidth dominates)
-        odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
         return [p.astype(odt) for p in planes]
+
+    def _deblock_device(self, jnp, planes, maps=None):
+        if maps is None:
+            from av1dec_tpu.ops.spec.deblock import build_deblock_maps
+            maps = build_deblock_maps(self.seq, self.hdr, self.plans,
+                                      self.sch.num_planes)
+        if maps is None:
+            return planes
+        from av1dec_tpu.ops.kernels.deblock import deblock_all
+        dev_maps = tuple(
+            ((jnp.asarray(fv), jnp.asarray(lv)),
+             (jnp.asarray(fh), jnp.asarray(lh)))
+            for (fv, lv), (fh, lh) in maps)
+        return list(deblock_all(
+            tuple(p.astype(jnp.int32) for p in planes), dev_maps,
+            self.hdr["lf"]["sharpness"], self.sch.bd))
 
     def _slice_planes(self, frame, base):
         sch = self.sch
@@ -260,21 +280,30 @@ class DeviceRecon:
         if gates is None:
             return planes
         n_shards = getattr(self.config, "space_shards", 0) or 0
-        if n_shards > 1 and planes[0].shape[1] % (8 * n_shards) == 0:
-            import jax
-            from jax.sharding import Mesh
+        if n_shards > 1:
+            if planes[0].shape[1] % (8 * n_shards) == 0:
+                import jax
+                from jax.sharding import Mesh
 
-            from av1dec_tpu.parallel.sharded_cdef import cdef_sharded
-            devs = jax.devices()
-            if len(devs) >= n_shards:
-                mesh = Mesh(np.asarray(devs[:n_shards]), ("space",))
-                return list(cdef_sharded(
-                    tuple(p.astype(jnp.int32) for p in planes), gates,
-                    self.sch.bd, mesh))
+                from av1dec_tpu.parallel.sharded_cdef import cdef_sharded
+                devs = jax.devices()
+                if len(devs) >= n_shards:
+                    mesh = Mesh(np.asarray(devs[:n_shards]), ("space",))
+                    return list(cdef_sharded(
+                        tuple(p.astype(jnp.int32) for p in planes),
+                        gates, self.sch.bd, mesh))
+            else:
+                import logging
+                logging.getLogger("av1dec_tpu").warning(
+                    "sharded CDEF: width %d not divisible by 8*%d "
+                    "shards; falling back to single-device",
+                    planes[0].shape[1], n_shards)
         y_pri, y_sec, uv_pri, uv_sec, damping, subx, suby = gates
         import jax
         import os as _os
-        use_pallas = (_os.environ.get("AV1DEC_PALLAS", "0") == "1" and
+        # Pallas kernel by default on accelerators (validated bit-exact
+        # on TPU vs the XLA formulation; AV1DEC_PALLAS=0 opts out)
+        use_pallas = (_os.environ.get("AV1DEC_PALLAS", "1") == "1" and
                       jax.default_backend() != "cpu")
         outs = cdef_dev._cdef_all(
             tuple(planes), jnp.asarray(y_pri), jnp.asarray(y_sec),
@@ -284,28 +313,41 @@ class DeviceRecon:
 
     def run(self):
         """Full frame on device; returns host planes (int64, like
-        FrameRecon.run)."""
+        FrameRecon.run).  Superres/LR (rare) finish on host."""
         import jax
         planes = self.run_device()
         fetched = jax.device_get(planes)
-        return [np.asarray(p).astype(np.int64) for p in fetched]
+        out = [np.asarray(p).astype(np.int64) for p in fetched]
+        pre = None
+        if self._pre_cdef_dev is not None:
+            pre = [np.asarray(p).astype(np.int64)
+                   for p in jax.device_get(self._pre_cdef_dev)]
+        return self.finish_host(out, pre)
+
+    def finish_host(self, planes, pre_cdef):
+        """Host tail of the filter chain: superres upscale + loop
+        restoration [SPEC §7.16, §7.17] on fetched planes (no-op for
+        the common case)."""
+        hdr, seq, bd = self.hdr, self.seq, self.sch.bd
+        if hdr.get("use_superres"):
+            from av1dec_tpu.ops.spec import superres
+            planes = superres.superres_frame(planes, seq, hdr, bd)
+            if pre_cdef is not None:
+                pre_cdef = superres.superres_frame(pre_cdef, seq, hdr,
+                                                   bd)
+        if self._needs_pre_cdef():
+            from av1dec_tpu.ops.spec import lr
+            lr.lr_frame(planes, pre_cdef, seq, hdr, self.plans, bd)
+        return planes
 
 
-def run_device_batch(drs):
-    """Decode K same-geometry intra frames in ONE wavefront run.
-
-    Frames are independent, so level i of every frame executes at the
-    same scan position — the window packing then amortizes the
-    per-window dispatch/compute across K frames' lanes.  Lanes carry
-    per-frame base offsets into a [K * (flat_len + pad)] buffer;
-    residuals are packed pixels at a uniform per-frame stride.
-
-    Returns a list (per frame) of device plane lists (async).
+def prep_batch(drs):
+    """Host-side half of the batched device decode: residual packing,
+    lane assembly, palette tensors, and deblock edge maps — all NumPy,
+    no device calls.  Runs on a worker thread in the pipelined decoder
+    so it overlaps the device execution of the previous batch
+    [SURVEY §7.3.5 "overlap entropy decode with device recon"].
     """
-    import jax.numpy as jnp
-
-    from av1dec_tpu.ops.kernels.wavefront import run_wavefront
-
     K = len(drs)
     sch0 = drs[0].sch
     caps = _caps_for(sch0, batch=True)
@@ -323,15 +365,14 @@ def run_device_batch(drs):
     res_np = np.zeros(K * rf[0], bufs[0].dtype)
     for f, b in enumerate(bufs):
         res_np[f * rf[0]: f * rf[0] + len(b)] = b
-    res = jnp.asarray(res_np)
 
-    pal = {t: jnp.asarray(np.concatenate(
-        [dr._palette_tensor(t, Pcap[t]) for dr in drs], axis=0))
+    pal_np = {t: np.concatenate(
+        [dr._palette_tensor(t, Pcap[t]) for dr in drs], axis=0)
         for t in BUCKETS}
 
     L = max(dr.sch.n_levels for dr in drs)
     buckets = []
-    inputs = {}
+    inputs_np = {}
     for t in BUCKETS:
         rows_all, lv_all = [], []
         for f, dr in enumerate(drs):
@@ -361,17 +402,59 @@ def run_device_batch(drs):
         n_cap = _cap(caps, "N", t, len(arr))
         packed = _pad_rows(arr, n_cap + BWIN[t])
         buckets.append((t, BWIN[t]))
-        inputs[t] = (jnp.asarray(packed), starts, counts)
+        inputs_np[t] = (packed, starts, counts)
 
-    config = (tuple(buckets), sch0.bd, sch0.sub_x, sch0.sub_y,
-              sch0.enable_edge_filter)
-    frame0 = jnp.zeros(K * flat, jnp.int32)
-    frame = run_wavefront(frame0, inputs, res, pal, config)
+    from av1dec_tpu.ops.spec.deblock import build_deblock_maps
+    dbl = [build_deblock_maps(dr.seq, dr.hdr, dr.plans,
+                              dr.sch.num_planes) for dr in drs]
+    return {
+        "K": K, "flat": flat,
+        "res_np": res_np, "pal_np": pal_np, "inputs_np": inputs_np,
+        "buckets": tuple(buckets), "dbl": dbl,
+        "config": (tuple(buckets), sch0.bd, sch0.sub_x, sch0.sub_y,
+                   sch0.enable_edge_filter),
+    }
+
+
+def dispatch_batch(drs, prep):
+    """Device half: upload the prepped tensors, run the batched
+    wavefront scan + per-frame deblock/CDEF.  Returns a list (per
+    frame) of device plane lists (async)."""
+    import jax.numpy as jnp
+
+    from av1dec_tpu.ops.kernels.wavefront import run_wavefront
+
+    sch0 = drs[0].sch
+    res = jnp.asarray(prep["res_np"])
+    pal = {t: jnp.asarray(a) for t, a in prep["pal_np"].items()}
+    inputs = {t: (jnp.asarray(p), s, c)
+              for t, (p, s, c) in prep["inputs_np"].items()}
+    frame0 = jnp.zeros(prep["K"] * prep["flat"], jnp.int32)
+    frame = run_wavefront(frame0, inputs, res, pal, prep["config"])
 
     outs = []
     for f, dr in enumerate(drs):
-        planes = dr._slice_planes(frame, f * flat)
-        planes = dr._cdef_device(jnp, planes)
+        planes = dr._slice_planes(frame, f * prep["flat"])
         odt = jnp.uint8 if sch0.bd == 8 else jnp.uint16
+        if prep["dbl"][f] is not None:
+            planes = dr._deblock_device(jnp, planes,
+                                        maps=prep["dbl"][f])
+        dr._pre_cdef_dev = [p.astype(odt) for p in planes] \
+            if dr._needs_pre_cdef() else None
+        planes = dr._cdef_device(jnp, planes)
         outs.append([p.astype(odt) for p in planes])
     return outs
+
+
+def run_device_batch(drs):
+    """Decode K same-geometry intra frames in ONE wavefront run.
+
+    Frames are independent, so level i of every frame executes at the
+    same scan position — the window packing then amortizes the
+    per-window dispatch/compute across K frames' lanes.  Lanes carry
+    per-frame base offsets into a [K * (flat_len + pad)] buffer;
+    residuals are packed pixels at a uniform per-frame stride.
+
+    Returns a list (per frame) of device plane lists (async).
+    """
+    return dispatch_batch(drs, prep_batch(drs))

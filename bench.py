@@ -9,9 +9,10 @@ verified bit-exact against the oracle before timing counts.
 
 Decode architecture measured here (SURVEY §7.1):
   host C++ entropy front-half (tile-threaded)  ->  plan tensors
-  -> device wavefront scan (intra pred + residual) + CDEF, one jitted
-     dispatch chain per frame, frames pipelined (device work for frame
-     k overlaps host entropy for frame k+1)
+  -> device wavefront scan (intra pred + residual) + deblock + CDEF in
+     fixed-size frame sub-batches; host prep of sub-batch k+1
+     (residual itx, lane packing, deblock maps) overlaps device
+     execution of sub-batch k on a worker thread
 Per-stage timings go to stderr; the JSON line to stdout.
 """
 import json
@@ -64,17 +65,25 @@ def ensure_stream():
     aomffi.write_ivf(STREAM, pkts, W, H)
 
 
+KB = 4  # device sub-batch size (fixed so jit keys stay stable)
+
+
 def decode_stream_pipelined(datas, fetch=True):
-    """Decode all frames: device-supported frames run as ONE batched
-    wavefront (levels lockstep across frames — amortizes per-level
-    dispatch), host pipeline for the rest.  Returns list of per-frame
-    plane lists (host int64 arrays)."""
+    """Decode all frames with host/device overlap: device-eligible
+    frames run in fixed-size sub-batches through the batched wavefront
+    (levels lockstep across frames — amortizes per-window dispatch);
+    the HOST prep of sub-batch k+1 (residual itx lanes, lane packing,
+    deblock maps) runs on a worker thread while the device executes
+    sub-batch k.  Host-pipeline frames decode inline.  Returns list of
+    per-frame plane lists (host int64 arrays)."""
     import jax
     import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
 
     from av1dec_tpu.bindings import NativeParser
     from av1dec_tpu.pipeline.device_recon import (DeviceRecon,
-                                                  run_device_batch)
+                                                  dispatch_batch,
+                                                  prep_batch)
     from av1dec_tpu.pipeline.recon import FrameRecon
 
     parser = NativeParser(threads=THREADS)
@@ -89,7 +98,24 @@ def decode_stream_pipelined(datas, fetch=True):
             else:
                 slots.append(
                     ("host", FrameRecon(parser.seq, hdr, plans).run()))
-    dev_out = run_device_batch(dev_frames) if dev_frames else []
+    # sub-batches, padded by repeating the last frame so every batch
+    # has the same K (stable jit key); pad outputs are discarded
+    chunks = []
+    for i in range(0, len(dev_frames), KB):
+        ch = dev_frames[i:i + KB]
+        n_real = len(ch)
+        while len(ch) < KB:
+            ch = ch + [ch[-1]]
+        chunks.append((ch, n_real))
+    dev_out = []
+    if chunks:
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(prep_batch, chunks[0][0])
+            for i, (ch, n_real) in enumerate(chunks):
+                prep = fut.result()
+                if i + 1 < len(chunks):
+                    fut = ex.submit(prep_batch, chunks[i + 1][0])
+                dev_out += dispatch_batch(ch, prep)[:n_real]
     if not fetch:
         for planes in dev_out:
             for p in planes:
@@ -98,8 +124,14 @@ def decode_stream_pipelined(datas, fetch=True):
     out = []
     for kind, v in slots:
         if kind == "dev":
-            out.append([np.asarray(p).astype(np.int64)
-                        for p in jax.device_get(dev_out[v])])
+            dr = dev_frames[v]
+            planes = [np.asarray(p).astype(np.int64)
+                      for p in jax.device_get(dev_out[v])]
+            pre = None
+            if dr._pre_cdef_dev is not None:
+                pre = [np.asarray(p).astype(np.int64)
+                       for p in jax.device_get(dr._pre_cdef_dev)]
+            out.append(dr.finish_host(planes, pre))
         else:
             out.append([np.asarray(p) for p in v])
     return out
