@@ -34,11 +34,20 @@ import jax.numpy as jnp
 
 def _thresholds(lvl, sharpness):
     """(limit, blimit, thresh) from the edge filter level map.
-    [SPEC §7.14.4]; twin of ops.spec.deblock._thresholds."""
-    shift = (1 if sharpness > 0 else 0) + (1 if sharpness > 4 else 0)
-    limit = lvl >> shift
-    if sharpness > 0:
-        limit = jnp.minimum(limit, 9 - sharpness)
+    [SPEC §7.14.4]; twin of ops.spec.deblock._thresholds.  `sharpness`
+    may be a Python int (per-frame jit) or a traced scalar (sharded
+    multi-frame batch)."""
+    if isinstance(sharpness, int):
+        shift = (1 if sharpness > 0 else 0) + (1 if sharpness > 4 else 0)
+        limit = lvl >> shift
+        if sharpness > 0:
+            limit = jnp.minimum(limit, 9 - sharpness)
+    else:
+        shift = (sharpness > 0).astype(jnp.int32) + \
+            (sharpness > 4).astype(jnp.int32)
+        limit = lvl >> shift
+        limit = jnp.where(sharpness > 0,
+                          jnp.minimum(limit, 9 - sharpness), limit)
     limit = jnp.maximum(limit, 1)
     blimit = 2 * (lvl + 2) + limit
     thresh = lvl >> 4

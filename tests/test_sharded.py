@@ -92,3 +92,31 @@ def test_dryrun_multichip_entrypoint():
     """The driver-facing dryrun: real frame, sharded == unsharded."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_frames_sharded_matches_single(spec_stream, native_lib):
+    """The decoder's MAIN compute — wavefront scan + deblock + CDEF —
+    sharded one-frame-per-device over the `data` axis == the
+    single-device DeviceRecon path, byte-identical (real frames)."""
+    from jax.sharding import Mesh
+
+    from av1dec_tpu.parallel.sharded_frames import decode_frames_sharded
+    from av1dec_tpu.pipeline.device_recon import DeviceRecon
+
+    p = NativeParser()
+    drs = []
+    for _, d in aomffi.read_ivf(spec_stream("multi")):
+        for hdr, plans in p.parse_tu(d, with_plans=True):
+            if plans is None:
+                continue
+            dr = DeviceRecon(p.seq, hdr, plans)
+            if dr.supported():
+                drs.append(dr)
+    assert len(drs) >= 2
+    drs = (drs * 2)[:4]  # 4 shards (frames may repeat; same geometry)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    got = decode_frames_sharded(drs, mesh)
+    for dr, planes in zip(drs, got):
+        ref = dr.run()
+        for a, b in zip(ref, planes):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
