@@ -49,6 +49,10 @@ class _Slot:
     grain: dict = field(default_factory=dict)
     bit_depth: int = 8
     subsampling: tuple = (1, 1)
+    # device-resident copy of the (grain-free) reference planes, kept
+    # when the frame decoded on device with no host filter tail — the
+    # device inter path reads refs from here instead of re-uploading
+    dev_planes: Optional[list] = None
 
 
 class Decoder:
@@ -112,7 +116,8 @@ class Decoder:
                     if slot is not None:
                         refs[rf] = {"planes": slot.planes,
                                     "width": slot.width,
-                                    "height": slot.height}
+                                    "height": slot.height,
+                                    "dev_planes": slot.dev_planes}
             import time as _time
             t0 = _time.monotonic()
             planes = None
@@ -122,12 +127,19 @@ class Decoder:
             big_enough = (self.config.platform is not None or
                           hdr["frame_width"] * hdr["frame_height"] >=
                           self.config.min_device_pixels)
-            if refs is None and big_enough and self._device_enabled():
+            dev_keep = None
+            if big_enough and self._device_enabled():
                 from av1dec_tpu.pipeline.device_recon import DeviceRecon
-                dr = DeviceRecon(seq, hdr, plans, config=self.config)
+                dr = DeviceRecon(seq, hdr, plans, config=self.config,
+                                 refs=refs)
                 if dr.supported():
                     planes = dr.run()
                     path = "device"
+                    # retain the device planes as a future ref unless a
+                    # host tail (superres/LR) changed them post-fetch
+                    if not dr._needs_pre_cdef() and \
+                            not hdr.get("use_superres"):
+                        dev_keep = dr._final_dev
             if planes is None:
                 planes = FrameRecon(seq, hdr, plans, refs=refs).run()
             self.stats.append({
@@ -153,7 +165,8 @@ class Decoder:
                          grain=hdr.get("grain") or {},
                          bit_depth=seq["bit_depth"],
                          subsampling=(seq["subsampling_x"],
-                                      seq["subsampling_y"]))
+                                      seq["subsampling_y"]),
+                         dev_planes=dev_keep)
             for i in range(8):
                 if (hdr["refresh_frame_flags"] >> i) & 1:
                     self._dpb[i] = slot
@@ -181,6 +194,46 @@ class Decoder:
                            temporal_id=hdr.get("temporal_id", 0),
                            spatial_id=hdr.get("spatial_id", 0),
                            metadata=hdr.get("metadata") or {})
+
+    def save_state(self) -> bytes:
+        """Mid-GOP checkpoint [SURVEY §5.4]: the FULL decode state at a
+        temporal-unit boundary — the native header-level state (seq
+        header, per-slot CDF contexts, segment maps, temporal-MVP
+        motion fields, order hints) plus the pixel DPB.  Restoring into
+        a fresh Decoder resumes decode at the next TU with output
+        byte-identical to an uninterrupted decode."""
+        import pickle
+        dpb = {}
+        for i, slot in self._dpb.items():
+            if slot is None:
+                continue
+            dpb[i] = {
+                "planes": [np.asarray(p) for p in slot.planes],
+                "width": slot.width, "height": slot.height,
+                "frame_type": slot.frame_type, "grain": slot.grain,
+                "bit_depth": slot.bit_depth,
+                "subsampling": slot.subsampling,
+            }
+        return pickle.dumps({
+            "native": self._parser.save_state(),
+            "dpb": dpb,
+            "shown": self._shown,
+        }, protocol=4)
+
+    def load_state(self, blob: bytes) -> None:
+        import pickle
+        st = pickle.loads(blob)
+        self._parser.load_state(st["native"])
+        self._dpb = {i: None for i in range(8)}
+        # slots sharing one frame must share one _Slot (KEY re-show
+        # identity is not observable post-restore; values are)
+        for i, ent in st["dpb"].items():
+            self._dpb[i] = _Slot(
+                planes=ent["planes"], width=ent["width"],
+                height=ent["height"], frame_type=ent["frame_type"],
+                grain=ent["grain"], bit_depth=ent["bit_depth"],
+                subsampling=ent["subsampling"])
+        self._shown = st["shown"]
 
     def close(self) -> None:
         self._parser.close()

@@ -42,6 +42,12 @@ def _load():
     lib.av1n_set_threads.argtypes = [C.c_void_p, C.c_int]
     lib.av1n_last_error.restype = C.c_char_p
     lib.av1n_last_error.argtypes = [C.c_void_p]
+    lib.av1n_state_size.restype = C.c_int64
+    lib.av1n_state_size.argtypes = [C.c_void_p]
+    lib.av1n_state_save.restype = C.c_int
+    lib.av1n_state_save.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
+    lib.av1n_state_restore.restype = C.c_int
+    lib.av1n_state_restore.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
     lib.av1n_plans_shape.restype = C.c_int
     lib.av1n_plans_shape.argtypes = [C.c_void_p, C.c_int,
                                      C.POINTER(C.c_int64)]
@@ -49,7 +55,7 @@ def _load():
     lib.av1n_wavefront_levels.argtypes = [
         C.c_int] + [C.POINTER(C.c_int32)] * 5 + \
         [C.POINTER(C.c_uint8)] * 3 + [C.c_int] * 5 + \
-        [C.POINTER(C.c_int32)]
+        [C.POINTER(C.c_int32)] + [C.POINTER(C.c_uint8)]
     for name, rt in [("av1n_plans_mi", C.POINTER(C.c_int16)),
                      ("av1n_plans_tx", C.POINTER(C.c_int32)),
                      ("av1n_plans_coeffs", C.POINTER(C.c_int32)),
@@ -154,6 +160,21 @@ class NativeParser:
                 out.append(hdr)
         return out
 
+    def save_state(self) -> bytes:
+        """Serialize the header-level decode state (seq header + all
+        8 ref slots incl. CDF contexts, seg maps, motion fields) at a
+        temporal-unit boundary [SURVEY §5.4 mid-GOP checkpoint]."""
+        n = self._lib.av1n_state_size(self._h)
+        buf = C.create_string_buffer(n)
+        if self._lib.av1n_state_save(self._h, buf, n) != 0:
+            raise RuntimeError("state save failed")
+        return buf.raw
+
+    def load_state(self, blob: bytes) -> None:
+        if self._lib.av1n_state_restore(self._h, blob, len(blob)) != 0:
+            raise ValueError("state restore failed: bad or mismatched "
+                             "checkpoint blob")
+
     def set_decode_tiles(self, v: bool) -> None:
         self._lib.av1n_set_decode_tiles(self._h, int(v))
 
@@ -175,9 +196,12 @@ class NativeParser:
 
 
 def wavefront_levels(plane, x4, y4, w4, h4, ext_above, ext_left, cfl_dep,
-                     mi_rows, mi_cols, sub_x, sub_y, num_planes):
+                     mi_rows, mi_cols, sub_x, sub_y, num_planes,
+                     skip_dep=None):
     """Native ASAP wavefront level DP (see capi av1n_wavefront_levels).
-    Returns (levels int32 [n], n_levels)."""
+    `skip_dep`: records with no recon-neighbor dependency (inter
+    blocks) — level 1 unconditionally.  Returns (levels int32 [n],
+    n_levels)."""
     import numpy as np
     lib = _load()
     n = len(plane)
@@ -192,5 +216,10 @@ def wavefront_levels(plane, x4, y4, w4, h4, ext_above, ext_left, cfl_dep,
     args += [C.c_int(v) for v in (mi_rows, mi_cols, sub_x, sub_y,
                                   num_planes)]
     args.append(out.ctypes.data_as(C.POINTER(C.c_int32)))
+    if skip_dep is not None:
+        sd = np.ascontiguousarray(skip_dep, np.uint8)
+        args.append(sd.ctypes.data_as(C.POINTER(C.c_uint8)))
+    else:
+        args.append(None)
     n_levels = lib.av1n_wavefront_levels(*args)
     return out, int(n_levels)

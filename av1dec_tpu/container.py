@@ -233,6 +233,17 @@ def index_keyframes(path: str) -> List[int]:
 
 def _decode_gop(args):
     path, start, end, cfg_kw = args
+    # fault-injection hook for the elastic-recovery test: a WORKER
+    # process assigned this GOP dies hard (os._exit) exactly once
+    import multiprocessing as _mp
+    import os as _os
+    kill = _os.environ.get("AV1DEC_TEST_KILL_GOP")
+    if kill is not None and int(kill) == start and \
+            _mp.current_process().name != "MainProcess":
+        marker = f"/tmp/av1dec_killed_gop_{start}_{_os.getppid()}"
+        if not _os.path.exists(marker):
+            open(marker, "w").close()
+            _os._exit(1)
     from av1dec_tpu.api import Decoder
     from av1dec_tpu.config import DecoderConfig
     dec = Decoder(DecoderConfig(**cfg_kw))
@@ -249,6 +260,40 @@ def _decode_gop(args):
     return out
 
 
+def _run_jobs_elastic(jobs, workers, max_attempts=3):
+    """Run GOP jobs across worker processes with elastic recovery
+    [SURVEY §5.3]: GOPs are independent, so a dead worker's GOPs are
+    simply reassigned — to a fresh pool, and as a last resort decoded
+    inline.  Returns chunks in job order."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    from concurrent.futures.process import BrokenProcessPool
+
+    results = {}
+    remaining = list(enumerate(jobs))
+    ctx = mp.get_context("spawn")  # fork unsafe once JAX threads exist
+    for _ in range(max_attempts):
+        if not remaining:
+            break
+        try:
+            with ProcessPoolExecutor(
+                    max_workers=min(workers, len(remaining)),
+                    mp_context=ctx) as ex:
+                futs = {ex.submit(_decode_gop, j): i
+                        for i, j in remaining}
+                for fut, i in futs.items():
+                    try:
+                        results[i] = fut.result()
+                    except (BrokenProcessPool, Exception):  # noqa: B014
+                        pass  # worker died: GOP stays in `remaining`
+        except BrokenProcessPool:
+            pass
+        remaining = [(i, j) for i, j in remaining if i not in results]
+    for i, j in remaining:  # last resort: decode in-process
+        results[i] = _decode_gop(j)
+    return [results[i] for i in range(len(jobs))]
+
+
 def decode_gops_parallel(path: str, workers: int = 2, config=None):
     """GOP-parallel decode: keyframe-delimited GOPs are fully
     independent [SPEC §7.20 KEY refresh], so they decode concurrently
@@ -256,8 +301,6 @@ def decode_gops_parallel(path: str, workers: int = 2, config=None):
 
     Returns frames in stream order (list of OutputFrame).
     """
-    import multiprocessing as mp
-
     from av1dec_tpu.api import OutputFrame
 
     keys = index_keyframes(path)
@@ -282,10 +325,7 @@ def decode_gops_parallel(path: str, workers: int = 2, config=None):
     if workers <= 1 or len(jobs) <= 1:
         chunks = [_decode_gop(j) for j in jobs]
     else:
-        # spawn: fork is unsafe once JAX threads exist in the parent
-        ctx = mp.get_context("spawn")
-        with ctx.Pool(min(workers, len(jobs))) as pool:
-            chunks = pool.map(_decode_gop, jobs)
+        chunks = _run_jobs_elastic(jobs, workers)
     out = []
     for chunk in chunks:
         for planes, bd, ss, oh, ft in chunk:

@@ -420,6 +420,146 @@ int on_frame_ready_cb(DecoderState* st, void* user) {
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Decoder-state checkpoint [SPEC §7.20 state; SURVEY §5.4 mid-GOP resume]
+//
+// Serializes the complete header-level reference state — sequence
+// header, per-slot saved params/CDF contexts/segment maps/motion
+// fields — so a decode can resume at ANY temporal-unit boundary, not
+// just keyframes.  The pixel-level DPB (plane arrays) is serialized by
+// the Python layer; together they are the full decode state.  Blobs
+// embed the struct sizes and reject mismatched builds.
+
+struct Ser {
+  uint8_t* buf;       // null = measuring
+  int64_t cap = 0, off = 0;
+  bool ok = true;
+  void put(const void* d, int64_t n) {
+    if (buf) {
+      if (off + n > cap) { ok = false; return; }
+      memcpy(buf + off, d, (size_t)n);
+    }
+    off += n;
+  }
+  template <typename T> void put_pod(const T& v) { put(&v, sizeof(T)); }
+  template <typename V>
+  void put_vec(const std::shared_ptr<V>& v) {
+    int64_t n = v ? (int64_t)v->size() : -1;
+    put_pod(n);
+    if (n > 0) put(v->data(), n * (int64_t)sizeof(typename V::value_type));
+  }
+};
+
+struct Des {
+  const uint8_t* buf;
+  int64_t size, off = 0;
+  bool ok = true;
+  void get(void* d, int64_t n) {
+    if (off + n > size) { ok = false; return; }
+    memcpy(d, buf + off, (size_t)n);
+    off += n;
+  }
+  template <typename T> void get_pod(T* v) { get(v, sizeof(T)); }
+  template <typename V>
+  void get_vec(std::shared_ptr<V>* v) {
+    int64_t n; get_pod(&n);
+    if (!ok || n < 0) { v->reset(); return; }
+    *v = std::make_shared<V>((size_t)n);
+    get((*v)->data(), n * (int64_t)sizeof(typename V::value_type));
+  }
+};
+
+const uint64_t kStateMagic = 0x41563153544154ULL;  // "AV1STAT"
+const uint32_t kStateVersion = 1;
+
+void state_serialize(const DecoderState& st, Ser& s) {
+  s.put_pod(kStateMagic);
+  s.put_pod(kStateVersion);
+  uint32_t sizes[3] = {(uint32_t)sizeof(SequenceHeader),
+                       (uint32_t)sizeof(FrameHeader),
+                       (uint32_t)sizeof(CdfContext)};
+  s.put(sizes, sizeof(sizes));
+  s.put_pod(st.seq);
+  s.put_pod(st.hdr);
+  s.put_pod(st.metadata);
+  int32_t misc[4] = {st.temporal_id, st.spatial_id, st.operating_point_idc,
+                     st.chosen_operating_point};
+  s.put(misc, sizeof(misc));
+  for (int i = 0; i < NUM_REF_FRAMES; i++) {
+    const RefSlot& r = st.ref[i];
+    int32_t head[16] = {r.valid, r.frame_type, r.frame_id, r.order_hint,
+                        r.upscaled_width, r.frame_width, r.frame_height,
+                        r.render_width, r.render_height, r.mi_cols,
+                        r.mi_rows, r.bit_depth, r.subsampling_x,
+                        r.subsampling_y, r.showable_frame, 0};
+    s.put(head, sizeof(head));
+    s.put(r.ref_order_hints, sizeof(r.ref_order_hints));
+    s.put_pod(r.saved_gm);
+    s.put_pod(r.saved_lf);
+    s.put_pod(r.saved_seg);
+    s.put_pod(r.saved_grain);
+    uint8_t has_cdfs = r.saved_cdfs ? 1 : 0;
+    s.put_pod(has_cdfs);
+    if (has_cdfs) s.put(r.saved_cdfs.get(), sizeof(CdfContext));
+    s.put_vec(r.saved_seg_ids);
+    s.put_vec(r.saved_mvs);
+    s.put_vec(r.saved_mv_ref);
+  }
+}
+
+int state_deserialize(DecoderState* st, Des& d) {
+  uint64_t magic; uint32_t ver;
+  d.get_pod(&magic);
+  d.get_pod(&ver);
+  uint32_t sizes[3];
+  d.get(sizes, sizeof(sizes));
+  if (!d.ok || magic != kStateMagic || ver != kStateVersion ||
+      sizes[0] != sizeof(SequenceHeader) ||
+      sizes[1] != sizeof(FrameHeader) || sizes[2] != sizeof(CdfContext))
+    return -1;
+  d.get_pod(&st->seq);
+  d.get_pod(&st->hdr);
+  d.get_pod(&st->metadata);
+  int32_t misc[4];
+  d.get(misc, sizeof(misc));
+  st->temporal_id = misc[0];
+  st->spatial_id = misc[1];
+  st->operating_point_idc = misc[2];
+  st->chosen_operating_point = misc[3];
+  for (int i = 0; i < NUM_REF_FRAMES; i++) {
+    RefSlot& r = st->ref[i];
+    int32_t head[16];
+    d.get(head, sizeof(head));
+    r.valid = head[0]; r.frame_type = head[1]; r.frame_id = head[2];
+    r.order_hint = head[3]; r.upscaled_width = head[4];
+    r.frame_width = head[5]; r.frame_height = head[6];
+    r.render_width = head[7]; r.render_height = head[8];
+    r.mi_cols = head[9]; r.mi_rows = head[10]; r.bit_depth = head[11];
+    r.subsampling_x = head[12]; r.subsampling_y = head[13];
+    r.showable_frame = head[14];
+    d.get(r.ref_order_hints, sizeof(r.ref_order_hints));
+    d.get_pod(&r.saved_gm);
+    d.get_pod(&r.saved_lf);
+    d.get_pod(&r.saved_seg);
+    d.get_pod(&r.saved_grain);
+    uint8_t has_cdfs = 0; d.get_pod(&has_cdfs);
+    if (d.ok && has_cdfs) {
+      r.saved_cdfs = std::make_shared<CdfContext>();
+      d.get(r.saved_cdfs.get(), sizeof(CdfContext));
+    } else {
+      r.saved_cdfs.reset();
+    }
+    d.get_vec(&r.saved_seg_ids);
+    d.get_vec(&r.saved_mvs);
+    d.get_vec(&r.saved_mv_ref);
+  }
+  st->seen_frame_header = 0;
+  st->tiles.clear();
+  st->tile_group_end = -1;
+  return d.ok ? 0 : -1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -431,12 +571,16 @@ extern "C" {
 // g4 grids: one per plane group (luma; chroma shared dims).  For each
 // block in tx-record order: level = 1 + max(above-row window, left-col
 // window, CfL co-located luma), then stamp the block's cells.
+// `skip_dep` (optional, may be null): records whose prediction does not
+// read reconstructed neighbors (inter blocks: MC runs before the scan)
+// — they take level 1 unconditionally and stamp their cells with 1.
 int av1n_wavefront_levels(int n, const int32_t* plane, const int32_t* x4,
                           const int32_t* y4, const int32_t* w4,
                           const int32_t* h4, const uint8_t* ext_above,
                           const uint8_t* ext_left, const uint8_t* cfl_dep,
                           int mi_rows, int mi_cols, int sub_x, int sub_y,
-                          int num_planes, int32_t* out_levels) {
+                          int num_planes, int32_t* out_levels,
+                          const uint8_t* skip_dep) {
   int rows_c = ((mi_rows * 4 >> sub_y) + 3) / 4;
   int cols_c = ((mi_cols * 4 >> sub_x) + 3) / 4;
   std::vector<int32_t> g_y((size_t)mi_rows * mi_cols, 0);
@@ -453,6 +597,15 @@ int av1n_wavefront_levels(int n, const int32_t* plane, const int32_t* x4,
     int C = pl == 0 ? mi_cols : cols_c;
     int bx = x4[i], by = y4[i], bw = w4[i], bh = h4[i];
     int dep = 0;
+    if (skip_dep && skip_dep[i]) {
+      out_levels[i] = 1;
+      if (1 > max_level) max_level = 1;
+      for (int r = by; r < by + bh && r < R; r++) {
+        int32_t* row = G + (size_t)r * C;
+        for (int c = bx; c < bx + bw && c < C; c++) row[c] = 1;
+      }
+      continue;
+    }
     if (by > 0) {
       int c0 = bx > 0 ? bx - 1 : 0;
       int c1 = bx + (ext_above[i] ? 2 * bw : bw) + 1;
@@ -490,6 +643,27 @@ int av1n_wavefront_levels(int n, const int32_t* plane, const int32_t* x4,
     }
   }
   return max_level;
+}
+
+int64_t av1n_state_size(void* hp) {
+  Handle* h = (Handle*)hp;
+  Ser s{nullptr};
+  state_serialize(h->st, s);
+  return s.off;
+}
+
+int av1n_state_save(void* hp, uint8_t* buf, int64_t cap) {
+  Handle* h = (Handle*)hp;
+  Ser s{buf};
+  s.cap = cap;
+  state_serialize(h->st, s);
+  return (s.ok && s.off <= cap) ? 0 : -1;
+}
+
+int av1n_state_restore(void* hp, const uint8_t* buf, int64_t size) {
+  Handle* h = (Handle*)hp;
+  Des d{buf, size};
+  return state_deserialize(&h->st, d);
 }
 
 void* av1n_create() { return new Handle(); }

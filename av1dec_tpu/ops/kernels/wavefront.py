@@ -41,8 +41,9 @@ import numpy as np
 from av1dec_tpu.ops.spec import intra
 from av1dec_tpu.ops.tables_data import FILTER_INTRA_TAPS, SM_WEIGHTS
 from av1dec_tpu.pipeline.wavefront import (MF_DC, MF_DIR, MF_FI, MF_H,
-                                           MF_PAETH, MF_PAL, MF_SMOOTH,
-                                           MF_SMOOTH_H, MF_SMOOTH_V, MF_V,
+                                           MF_INTER, MF_PAETH, MF_PAL,
+                                           MF_SMOOTH, MF_SMOOTH_H,
+                                           MF_SMOOTH_V, MF_V,
                                            _SCALAR_FIELDS)
 
 # device packing appends the per-lane block geometry to the shared
@@ -361,6 +362,11 @@ def _apply_bucket(frame, packed, start, count, res_flat, pal_t, *, T, bd,
         jj = jnp.arange(T, dtype=jnp.int32)[None, None, :]
         pixmask = (ii < h_l[:, None, None]) & (jj < w_l[:, None, None])
 
+        fidx_raw = (sv["base"][:, None, None] +
+                    (sv["y"][:, None, None] + ii) *
+                    sv["stride"][:, None, None] +
+                    sv["x"][:, None, None] + jj)
+
         # cheap families computed unconditionally, selected by mask
         out = _smooth_all(above, left, sv, T)
         out = jnp.where((mf == MF_V)[:, None, None],
@@ -419,6 +425,17 @@ def _apply_bucket(frame, packed, start, count, res_flat, pal_t, *, T, bd,
                 lambda o: jnp.where(m_fi[:, None, None],
                                     _predict_fi(above, left, sv, T, bd), o),
                 lambda o: o, out)
+        if "inter" in fams:
+            # inter residual lane: the MC pass already wrote this
+            # block's prediction into the frame — gather it back, the
+            # shared residual-add below then clips and rewrites
+            m_int = valid & (mf == MF_INTER)
+            out = jax.lax.cond(
+                m_int.any(),
+                lambda o: jnp.where(
+                    m_int[:, None, None],
+                    frame[jnp.clip(fidx_raw, 0, frame.shape[0] - 1)], o),
+                lambda o: o, out)
 
         # residual: per-lane pixel window of the packed flat buffer
         roff = sv["res_idx"]
@@ -433,10 +450,7 @@ def _apply_bucket(frame, packed, start, count, res_flat, pal_t, *, T, bd,
         # variants by ~10x (TPU lowers windowed updates to serial
         # loops); per-LEVEL dispatch overhead dominates either way and
         # is amortized by multi-frame batching (run_device_batch).
-        fidx = (sv["base"][:, None, None] +
-                (sv["y"][:, None, None] + ii) * sv["stride"][:, None, None] +
-                sv["x"][:, None, None] + jj)
-        fidx = jnp.where(valid[:, None, None] & pixmask, fidx,
+        fidx = jnp.where(valid[:, None, None] & pixmask, fidx_raw,
                          frame.shape[0])
         return frame.at[fidx.reshape(-1)].set(out.reshape(-1), mode="drop")
 
@@ -457,10 +471,13 @@ def run_wavefront_chunk(frame0, packed, starts, counts, res_flat,
     into <= Bmax-lane windows, lockstep across buckets so no window of
     level L runs before every window of level < L); res_flat: packed
     residual pixels (int16 for 8-bit); pal_tensors: {T: [P, T, T]}.
-    config: (((T, Bmax), ...), bd, sub_x, sub_y, eef) — capacities
-    quantized so the key is stable across the frames of a stream; the
-    step count lives OUTSIDE the key (the host loops chunks)."""
-    (buckets, bd, sub_x, sub_y, eef) = config
+    config: (((T, Bmax), ...), bd, sub_x, sub_y, eef[, has_inter]) —
+    capacities quantized so the key is stable across the frames of a
+    stream; the step count lives OUTSIDE the key (the host loops
+    chunks).  The optional 6th element enables MF_INTER lanes (mixed
+    frames); its absence keeps the all-intra jit key unchanged."""
+    (buckets, bd, sub_x, sub_y, eef, *rest) = config
+    fams = _ALL_FAMS | {"inter"} if (rest and rest[0]) else _ALL_FAMS
 
     def step(frame, sc):
         st, cn = sc
@@ -468,7 +485,8 @@ def run_wavefront_chunk(frame0, packed, starts, counts, res_flat,
             frame = _apply_bucket(
                 frame, packed[T], st[bi], cn[bi],
                 res_flat, pal_tensors[T],
-                T=T, bd=bd, Bmax=Bmax, sub_x=sub_x, sub_y=sub_y, eef=eef)
+                T=T, bd=bd, Bmax=Bmax, sub_x=sub_x, sub_y=sub_y, eef=eef,
+                fams=fams)
         return frame, ()
 
     frame, _ = jax.lax.scan(step, frame0, (starts, counts), length=CHUNK)

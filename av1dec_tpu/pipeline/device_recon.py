@@ -84,13 +84,24 @@ class DeviceRecon:
     Use `supported()` first; construction assumes an all-intra frame.
     """
 
-    def __init__(self, seq, hdr, plans, config=None):
+    def __init__(self, seq, hdr, plans, config=None, refs=None):
         from av1dec_tpu.pipeline.recon import FrameRecon
         self.config = config
+        self.refs = refs
         self._pre_cdef_dev = None
         self._fr = FrameRecon(seq, hdr, plans)
-        self.sch = wf.build_schedule(seq, hdr, plans, self._fr._filter_type)
+        self.sch = wf.build_schedule(seq, hdr, plans,
+                                     self._fr._filter_type,
+                                     allow_inter=refs is not None)
         self.seq, self.hdr, self.plans = seq, hdr, plans
+        self._inter_plan = None
+        if self.sch is not None and self.sch.has_inter:
+            from av1dec_tpu.pipeline import device_inter as di
+            if di.frame_eligible(hdr, plans, refs, self.sch.num_planes):
+                self._inter_plan = di.InterPlan(seq, hdr, plans, refs,
+                                                self.sch)
+            else:
+                self.sch = None  # exotic inter tools: host path
         if self.sch is not None:
             # deterministic per-(w, h) offsets: palette slots per bucket,
             # residual PIXEL offsets into the packed flat buffer
@@ -235,6 +246,14 @@ class DeviceRecon:
         config = (buckets, sch.bd, sch.sub_x, sch.sub_y,
                   sch.enable_edge_filter)
         frame0 = jnp.zeros(sch.flat_len + FLAT_PAD, jnp.int32)
+        if self._inter_plan is not None:
+            # MC pass first: all inter predictions land in the frame
+            # buffer, then the scan adds residuals + runs intra lanes
+            from av1dec_tpu.ops.kernels.mc import run_mc
+            mc_cfg, mc_lanes = self._inter_plan.mc_config_and_lanes(jnp)
+            frame0 = run_mc(frame0, self._inter_plan.ref_flat(jnp),
+                            mc_lanes, mc_cfg)
+            config = config + (True,)
         frame = run_wavefront(frame0, inputs, res, pal, config)
         planes = self._slice_planes(frame, 0)
         odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
@@ -244,8 +263,11 @@ class DeviceRecon:
         self._pre_cdef_dev = [p.astype(odt) for p in planes] \
             if self._needs_pre_cdef() else None
         planes = self._cdef_device(jnp, planes)
-        # narrow for the d2h transfer (link bandwidth dominates)
-        return [p.astype(odt) for p in planes]
+        # narrow for the d2h transfer (link bandwidth dominates); also
+        # retained as the device-resident ref copy (api ref cache) so
+        # later inter frames don't re-upload their reference pixels
+        self._final_dev = [p.astype(odt) for p in planes]
+        return self._final_dev
 
     def _deblock_device(self, jnp, planes, maps=None):
         if maps is None:

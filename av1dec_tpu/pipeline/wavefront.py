@@ -27,9 +27,11 @@ from av1dec_tpu.ops.tables_data import DR_INTRA_DERIVATIVE, SM_WEIGHTS
 TX_DIMS = itx.TX_DIMS
 UV_CFL_PRED = 13
 
-# mode family tags for the executor
+# mode family tags for the executor; MF_INTER = "prediction already in
+# the frame buffer" (the device MC pass runs before the scan): the lane
+# just gathers its own block, adds the residual, clips, writes back
 MF_DC, MF_V, MF_H, MF_DIR, MF_SMOOTH, MF_SMOOTH_V, MF_SMOOTH_H, \
-    MF_PAETH, MF_PAL, MF_FI = range(10)
+    MF_PAETH, MF_PAL, MF_FI, MF_INTER = range(11)
 
 _SCALAR_FIELDS = [
     "x", "y", "plane", "base", "stride", "mode_family", "p_angle",
@@ -94,6 +96,7 @@ class Schedule:
         self.enable_edge_filter = bool(seq["enable_intra_edge_filter"])
         self.classes = {}  # (w, h) -> BlockClass
         self.n_levels = 0
+        self.has_inter = False
         self.pal_preds = {}   # (w, h) -> [np (h, w)] palette predictions
         self.res_count = {}   # (w, h) -> count of residual slots
         self.res_recs = {}    # (w, h) -> list of plans.tx record indices
@@ -788,22 +791,43 @@ def _edge_luts():
     return _STR_LUT, _UP_LUT
 
 
-def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
+def build_schedule_fast(seq, hdr, plans, filter_type_fn=None,
+                        allow_inter=False):
     """Vectorized build_schedule: same Schedule, numpy field assembly
     over the whole tx-record array + native ASAP level DP
     (bindings.wavefront_levels).  `filter_type_fn` is unused (the
     neighbor-smoothness filter type is computed from the mi grids
-    directly); kept for signature compatibility."""
-    if plans is None or plans.grid("is_inter").any() or \
-            plans.grid("intrabc").any():
+    directly); kept for signature compatibility.
+
+    With `allow_inter`, mixed frames build too: inter tx records become
+    MF_INTER residual-add lanes at level 1 (their predictions are
+    written by the MC pass before the scan; records with eob == 0 need
+    no lane at all), and intra blocks schedule after them."""
+    if plans is None or plans.grid("intrabc").any():
+        return None
+    if plans.grid("is_inter").any() and not allow_inter:
         return None
     from av1dec_tpu.bindings import wavefront_levels
     sch = Schedule(seq, hdr, plans)
     mi_cols, mi_rows = plans.mi_cols, plans.mi_rows
     tx = np.asarray(plans.tx, np.int64)
+    if len(tx) == 0:
+        return None
+    inter_g = plans.grid("is_inter")
+    mi_all = tx[:, 7]
+    rec_inter_all = inter_g[(mi_all // mi_cols).astype(np.int64),
+                            (mi_all % mi_cols).astype(np.int64)] != 0
+    sch.has_inter = bool(rec_inter_all.any())
+    # inter records without residual need no lane (MC already wrote
+    # their final pixels); res_recs must keep ORIGINAL plans.tx indices
+    keep = ~rec_inter_all | (tx[:, 5] > 0)
+    orig_idx = np.nonzero(keep)[0]
+    tx = tx[keep]
     N = len(tx)
     if N == 0:
-        return None
+        # every block is a skipped inter block: nothing to scan
+        sch.n_levels = 0
+        return sch
     plane = tx[:, 0].astype(np.int32)
     x4, y4 = tx[:, 1].astype(np.int32), tx[:, 2].astype(np.int32)
     tsz, tt, eob = tx[:, 3], tx[:, 4], tx[:, 5]
@@ -812,11 +836,13 @@ def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
     h = _H_LUT[tsz]
     mi_r, mi_c = (mi // mi_cols).astype(np.int64), \
         (mi % mi_cols).astype(np.int64)
+    rec_inter = inter_g[mi_r, mi_c] != 0
+    intra_rec = ~rec_inter
     x, y = x4 * 4, y4 * 4
-    have_left = (avail & 1) != 0
-    have_above = (avail & 2) != 0
-    have_ar = (avail & 4) != 0
-    have_bl = (avail & 8) != 0
+    have_left = ((avail & 1) != 0) & intra_rec
+    have_above = ((avail & 2) != 0) & intra_rec
+    have_ar = ((avail & 4) != 0) & intra_rec
+    have_bl = ((avail & 8) != 0) & intra_rec
 
     F = {f: np.zeros(N, np.int64) for f in _SCALAR_FIELDS}
     F["x"], F["y"], F["plane"] = x, y, plane
@@ -853,18 +879,21 @@ def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
                      g("angle_uv")[mi_r, mi_c]).astype(np.int64)
     fi_mode = np.where(plane == 0, g("filter_intra")[mi_r, mi_c],
                        -1).astype(np.int64)
-    use_pal = np.where(plane == 0, g("palette_y")[mi_r, mi_c],
-                       g("palette_uv")[mi_r, mi_c]) > 0
-    is_cfl = (plane > 0) & (mode == UV_CFL_PRED)
+    use_pal = (np.where(plane == 0, g("palette_y")[mi_r, mi_c],
+                        g("palette_uv")[mi_r, mi_c]) > 0) & intra_rec
+    is_cfl = (plane > 0) & (mode == UV_CFL_PRED) & intra_rec
 
     mf_pal = use_pal
-    mf_fi = ~mf_pal & (fi_mode >= 0)
-    mf_dc = ~mf_pal & ~mf_fi & (is_cfl | (mode == intra.DC_PRED))
+    mf_fi = ~mf_pal & (fi_mode >= 0) & intra_rec
+    mf_dc = ~mf_pal & ~mf_fi & (is_cfl | (mode == intra.DC_PRED)) & \
+        intra_rec
     mf_smooth = ~mf_pal & ~mf_fi & ~mf_dc & \
-        (mode >= intra.SMOOTH_PRED) & (mode <= intra.SMOOTH_H_PRED)
+        (mode >= intra.SMOOTH_PRED) & (mode <= intra.SMOOTH_H_PRED) & \
+        intra_rec
     mf_paeth = ~mf_pal & ~mf_fi & ~mf_dc & ~mf_smooth & \
-        (mode == intra.PAETH_PRED)
-    mf_dirish = ~(mf_pal | mf_fi | mf_dc | mf_smooth | mf_paeth)
+        (mode == intra.PAETH_PRED) & intra_rec
+    mf_dirish = ~(mf_pal | mf_fi | mf_dc | mf_smooth | mf_paeth) & \
+        intra_rec
 
     p_angle = np.where(mf_dirish,
                        _M2A[np.minimum(mode, 12)] +
@@ -874,6 +903,7 @@ def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
     mf_dir = mf_dirish & ~mf_v & ~mf_h
 
     fam = np.zeros(N, np.int64)
+    fam[rec_inter] = MF_INTER
     fam[mf_pal] = MF_PAL
     fam[mf_fi] = MF_FI
     fam[mf_dc] = MF_DC
@@ -972,12 +1002,13 @@ def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
             drl(np.abs(pa - 90)),
             np.where(mf_dir & (p_angle > 180), drl(np.abs(270 - pa)), 0))
 
-    # levels via the native DP
+    # levels via the native DP (inter lanes: no deps, level 1)
     ext_above = mf_dir & (p_angle < 90)
     ext_left = mf_dir & (p_angle > 180)
     levels, n_levels = wavefront_levels(
         plane, x4, y4, w // 4, h // 4, ext_above, ext_left, is_cfl,
-        mi_rows, mi_cols, sch.sub_x, sch.sub_y, sch.num_planes)
+        mi_rows, mi_cols, sch.sub_x, sch.sub_y, sch.num_planes,
+        skip_dep=rec_inter)
     sch.n_levels = n_levels
     levels = levels.astype(np.int64)
 
@@ -988,12 +1019,12 @@ def build_schedule_fast(seq, hdr, plans, filter_type_fn=None):
         kw, kh = int(key_packed) >> 8, int(key_packed) & 0xFF
         key = (kw, kh)
         sel = np.where(class_key == key_packed)[0]
-        # residual slots
+        # residual slots (res_recs carry ORIGINAL plans.tx indices)
         res_sel = sel[eob[sel] > 0]
         F["res_idx"][res_sel] = np.arange(len(res_sel))
         if len(res_sel):
             sch.res_count[key] = len(res_sel)
-            sch.res_recs[key] = res_sel.tolist()
+            sch.res_recs[key] = orig_idx[res_sel].tolist()
         # palette predictions (rare: scalar loop)
         pal_sel = sel[use_pal[sel]]
         if len(pal_sel):

@@ -28,6 +28,7 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 STREAM = "/tmp/av1dec_bench_1080p_v3.ivf"
+STREAM_INTER = "/tmp/av1dec_bench_1080p_inter_v1.ivf"
 W, H, FRAMES = 1920, 1080, 8
 THREADS = max(1, min(4, os.cpu_count() or 1))
 
@@ -63,6 +64,91 @@ def ensure_stream():
     pkts += enc.flush()
     enc.close()
     aomffi.write_ivf(STREAM, pkts, W, H)
+
+
+def ensure_inter_stream():
+    """1080p low-delay inter stream (1 KF + 7 inter), simple tools only
+    (no warp/OBMC/masked compound) so every inter frame qualifies for
+    the device MC path."""
+    if os.path.exists(STREAM_INTER):
+        return
+    import numpy as np
+
+    import aomffi
+    rng = np.random.default_rng(17)
+    pad = 64
+    yy, xx = np.mgrid[:H + pad, :W + pad]
+    base_y = (110 + 70 * np.sin(xx / 17.0) * np.cos(yy / 23.0) +
+              rng.normal(0, 10, (H + pad, W + pad))).clip(0, 255) \
+        .astype(np.uint8)
+    base_u = (128 + 40 * np.sin(xx[::2, ::2] / 13.0)).clip(0, 255) \
+        .astype(np.uint8)
+    base_v = (128 + 40 * np.cos(yy[::2, ::2] / 15.0)).clip(0, 255) \
+        .astype(np.uint8)
+    enc = aomffi.AomEncoder(
+        W, H, cpu_used=6, kf_max_dist=9999, lag=0, end_usage=3,
+        options=[("cq-level", "40"),
+                 ("enable-obmc", "0"), ("enable-warped-motion", "0"),
+                 ("enable-masked-comp", "0"),
+                 ("enable-interintra-comp", "0"),
+                 ("enable-global-motion", "0")])
+    pkts = []
+    for i in range(FRAMES):
+        dy, dx = 2 * i, 3 * i
+        y = base_y[dy:dy + H, dx:dx + W]
+        u = base_u[dy // 2:dy // 2 + H // 2, dx // 2:dx // 2 + W // 2]
+        v = base_v[dy // 2:dy // 2 + H // 2, dx // 2:dx // 2 + W // 2]
+        pkts += enc.encode(y, u, v, pts=i)
+    pkts += enc.flush()
+    enc.close()
+    aomffi.write_ivf(STREAM_INTER, pkts, W, H)
+
+
+def bench_inter(log):
+    """Decode the inter stream through the public API (device path for
+    every qualifying frame, device-resident ref cache).  Returns
+    (fps, n_device_inter_frames, bad_px) — fps 0 when not bit-exact."""
+    import numpy as np
+
+    import aomffi
+    from av1dec_tpu.api import Decoder
+    from av1dec_tpu.config import DecoderConfig
+    from av1dec_tpu.container import read_ivf
+
+    ensure_inter_stream()
+    datas = [d for _, d in read_ivf(STREAM_INTER)]
+
+    def run():
+        dec = Decoder(DecoderConfig(threads=THREADS, apply_grain=False))
+        out = []
+        for tu in datas:
+            out += dec.decode(tu)
+        stats = dec.stats
+        dec.close()
+        return out, stats
+
+    t0 = time.time()
+    frames, stats = run()
+    log(f"inter verify pass (incl compile): {time.time() - t0:.1f}s")
+    n_dev = sum(1 for s in stats
+                if not s["intra"] and s["recon_path"] == "device")
+    log(f"inter frames on device: {n_dev}/{sum(1 for s in stats if not s['intra'])}")
+    oracle = aomffi.oracle_decode_ivf(STREAM_INTER)
+    bad = 0
+    for fr, ora in zip(frames, oracle):
+        refp = [np.asarray(x).astype(np.int64)
+                for x in (ora.y, ora.u, ora.v) if x is not None]
+        bad += sum(int((np.asarray(m)[:r.shape[0], :r.shape[1]] != r)
+                       .sum()) for m, r in zip(fr.planes, refp))
+    log(f"inter bit-exact gate: {'PASS' if bad == 0 else f'FAIL ({bad} px)'}")
+    best = 0.0
+    for it in range(2):
+        t0 = time.time()
+        frames, _ = run()
+        fps = len(frames) / (time.time() - t0)
+        log(f"inter timed iter {it}: {fps:.2f} fps")
+        best = max(best, fps)
+    return (0.0 if bad else round(best, 4)), n_dev, bad
 
 
 KB = 4  # device sub-batch size (fixed so jit keys stay stable)
@@ -188,6 +274,9 @@ def main():
             log(f"timed iter {it}: {fps:.2f} fps")
             best = max(best, fps)
 
+    # --- inter stream through the public API (device MC path)
+    fps_inter, n_dev_inter, bad_inter = bench_inter(log)
+
     # --- baseline: libaom decoder on the same stream
     dec = aomffi.AomDecoder()
     t0 = time.time()
@@ -204,6 +293,8 @@ def main():
         "value": value,
         "unit": "frames/s",
         "vs_baseline": round(value / base, 4) if base else 0.0,
+        "extra": {"fps_1080p_inter": fps_inter,
+                  "inter_device_frames": n_dev_inter},
     }))
 
 

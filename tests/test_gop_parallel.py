@@ -40,3 +40,21 @@ def test_gop_parallel_matches_serial():
     b = container.decode_gops_parallel(path, workers=2)
     assert len(a) == len(b) == 12
     assert [x.md5() for x in a] == [y.md5() for y in b]
+
+
+def test_gop_parallel_elastic_recovery(monkeypatch, tmp_path):
+    """A worker process dying mid-decode must not lose its GOP: the
+    GOP is reassigned and the output still equals serial decode
+    [SURVEY §5.3 failure detection / elastic recovery]."""
+    import glob
+    import os
+    path = _gop_stream()
+    for f in glob.glob("/tmp/av1dec_killed_gop_*"):
+        os.remove(f)
+    # kill the worker handling the GOP that starts at TU 4, once
+    monkeypatch.setenv("AV1DEC_TEST_KILL_GOP", "4")
+    a = decode_file(path, CFG)
+    b = container.decode_gops_parallel(path, workers=2)
+    assert [x.md5() for x in a] == [y.md5() for y in b]
+    # the kill really happened (marker created by the dying worker)
+    assert glob.glob("/tmp/av1dec_killed_gop_4_*")
