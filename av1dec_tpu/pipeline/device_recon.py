@@ -78,6 +78,40 @@ def _pad_rows(arr, n_total):
     return np.concatenate([arr[:n_total], pad], axis=0)
 
 
+import functools
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("cfg",))
+def _postfilter_chain(frame, base, dbl_maps, gates, cfg):
+    """Fused per-frame postfilter: plane slice -> deblock -> CDEF ->
+    narrow cast, ONE dispatch (per-dispatch RTT over the device link
+    dominates at per-frame postfilter sizes).  `base` is a traced frame
+    offset so every frame of a batch shares this program.  cfg:
+    (plane_geom, bd, sharp, damping, subx_c, suby_c, has_dbl, has_cdef,
+    need_pre, use_pallas) — all small-int statics.  Returns (final
+    planes, pre-CDEF planes or ())."""
+    import jax
+    import jax.numpy as jnp
+    (geom, bd, sharp, damping, subx_c, suby_c,
+     has_dbl, has_cdef, need_pre, use_pallas) = cfg
+    planes = []
+    for (pb, ha, wa, vh, vw) in geom:
+        flat = jax.lax.dynamic_slice(frame, (base + pb,), (ha * wa,))
+        planes.append(flat.reshape(ha, wa)[:vh, :vw])
+    if has_dbl:
+        from av1dec_tpu.ops.kernels.deblock import deblock_planes
+        planes = list(deblock_planes(tuple(planes), dbl_maps, sharp, bd))
+    odt = jnp.uint8 if bd == 8 else jnp.uint16
+    pre = tuple(p.astype(odt) for p in planes) if need_pre else ()
+    if has_cdef:
+        from av1dec_tpu.ops.kernels import cdef as cdef_dev
+        y_pri, y_sec, uv_pri, uv_sec = gates
+        planes = list(cdef_dev._cdef_core(
+            tuple(planes), y_pri, y_sec, uv_pri, uv_sec, bd, damping,
+            subx_c, suby_c, use_pallas=use_pallas))
+    return tuple(p.astype(odt) for p in planes), pre
+
+
 class DeviceRecon:
     """Device executor for one frame; `run()` returns host planes.
 
@@ -255,19 +289,67 @@ class DeviceRecon:
                             mc_lanes, mc_cfg)
             config = config + (True,)
         frame = run_wavefront(frame0, inputs, res, pal, config)
-        planes = self._slice_planes(frame, 0)
-        odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
-        # loop-filter chain on device (same dispatch chain, no host
-        # round trip): deblock -> CDEF [SPEC §7.14, §7.15]
-        planes = self._deblock_device(jnp, planes)
-        self._pre_cdef_dev = [p.astype(odt) for p in planes] \
-            if self._needs_pre_cdef() else None
-        planes = self._cdef_device(jnp, planes)
-        # narrow for the d2h transfer (link bandwidth dominates); also
-        # retained as the device-resident ref copy (api ref cache) so
-        # later inter frames don't re-upload their reference pixels
-        self._final_dev = [p.astype(odt) for p in planes]
+        # loop-filter chain on device, fused into one dispatch:
+        # slice -> deblock -> CDEF -> narrow cast [SPEC §7.14, §7.15].
+        # The result doubles as the device-resident ref copy (api ref
+        # cache) so later inter frames don't re-upload ref pixels.
+        final, pre = self._post_device(jnp, frame, 0)
+        self._pre_cdef_dev = pre
+        self._final_dev = final
         return self._final_dev
+
+    def _post_device(self, jnp, frame, base, maps="build"):
+        """Fused postfilter dispatch for the frame at `base` within the
+        flat buffer.  Returns (final planes, pre-CDEF planes or None).
+        Falls back to the unfused chain when column-sharded CDEF is
+        configured."""
+        import jax
+        import os as _os
+        from av1dec_tpu.ops.kernels import cdef as cdef_dev
+        sch = self.sch
+        if maps == "build":
+            from av1dec_tpu.ops.spec.deblock import build_deblock_maps
+            maps = build_deblock_maps(self.seq, self.hdr, self.plans,
+                                      sch.num_planes)
+        gates = cdef_dev.compute_gates(self.seq, self.hdr, self.plans,
+                                       sch.num_planes, sch.bd)
+        n_shards = getattr(self.config, "space_shards", 0) or 0
+        odt = jnp.uint8 if sch.bd == 8 else jnp.uint16
+        if gates is not None and n_shards > 1:
+            # column-sharded CDEF path (unfused)
+            planes = self._slice_planes(frame, base)
+            if maps is not None:
+                planes = self._deblock_device(jnp, planes, maps=maps)
+            pre = [p.astype(odt) for p in planes] \
+                if self._needs_pre_cdef() else None
+            planes = self._cdef_device(jnp, planes)
+            return [p.astype(odt) for p in planes], pre
+        dbl_dev = ()
+        sharp = 0
+        if maps is not None:
+            dbl_dev = tuple(
+                ((jnp.asarray(fv), jnp.asarray(lv)),
+                 (jnp.asarray(fh), jnp.asarray(lh)))
+                for (fv, lv), (fh, lh) in maps)
+            sharp = int(self.hdr["lf"]["sharpness"])
+        gates_dev = ()
+        damping = 0
+        subx_c = suby_c = 0
+        if gates is not None:
+            y_pri, y_sec, uv_pri, uv_sec, damping, subx_c, suby_c = gates
+            gates_dev = (jnp.asarray(y_pri), jnp.asarray(y_sec),
+                         jnp.asarray(uv_pri), jnp.asarray(uv_sec))
+        use_pallas = (_os.environ.get("AV1DEC_PALLAS", "1") == "1" and
+                      jax.default_backend() != "cpu")
+        geom = tuple(
+            (sch.plane_base[p],) + tuple(sch.alloc_dims[p]) +
+            tuple(sch.valid_dims[p]) for p in range(sch.num_planes))
+        cfg = (geom, sch.bd, sharp, int(damping), subx_c, suby_c,
+               maps is not None, gates is not None,
+               self._needs_pre_cdef(), use_pallas)
+        final, pre = _postfilter_chain(frame, base, dbl_dev, gates_dev,
+                                       cfg)
+        return list(final), (list(pre) if pre else None)
 
     def _deblock_device(self, jnp, planes, maps=None):
         if maps is None:
@@ -446,7 +528,6 @@ def dispatch_batch(drs, prep):
 
     from av1dec_tpu.ops.kernels.wavefront import run_wavefront
 
-    sch0 = drs[0].sch
     res = jnp.asarray(prep["res_np"])
     pal = {t: jnp.asarray(a) for t, a in prep["pal_np"].items()}
     inputs = {t: (jnp.asarray(p), s, c)
@@ -456,15 +537,11 @@ def dispatch_batch(drs, prep):
 
     outs = []
     for f, dr in enumerate(drs):
-        planes = dr._slice_planes(frame, f * prep["flat"])
-        odt = jnp.uint8 if sch0.bd == 8 else jnp.uint16
-        if prep["dbl"][f] is not None:
-            planes = dr._deblock_device(jnp, planes,
-                                        maps=prep["dbl"][f])
-        dr._pre_cdef_dev = [p.astype(odt) for p in planes] \
-            if dr._needs_pre_cdef() else None
-        planes = dr._cdef_device(jnp, planes)
-        outs.append([p.astype(odt) for p in planes])
+        # fused postfilter: one dispatch per frame instead of ~8
+        final, pre = dr._post_device(jnp, frame, f * prep["flat"],
+                                     maps=prep["dbl"][f])
+        dr._pre_cdef_dev = pre
+        outs.append(final)
     return outs
 
 
