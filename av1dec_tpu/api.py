@@ -136,9 +136,12 @@ class Decoder:
                     planes = dr.run()
                     path = "device"
                     # retain the device planes as a future ref unless a
-                    # host tail (superres/LR) changed them post-fetch
-                    if not dr._needs_pre_cdef() and \
-                            not hdr.get("use_superres"):
+                    # host tail (SGR restoration, or host-side
+                    # superres) changed them post-fetch
+                    if (not dr._needs_pre_cdef() or
+                            dr._lr_on_device) and \
+                            (not hdr.get("use_superres") or
+                             dr._sr_on_device):
                         dev_keep = dr._final_dev
             if planes is None:
                 planes = FrameRecon(seq, hdr, plans, refs=refs).run()

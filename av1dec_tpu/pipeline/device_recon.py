@@ -81,19 +81,36 @@ def _pad_rows(arr, n_total):
 import functools
 
 
+def _superres_dev(planes, sr_args, bd):
+    """Device superres [SPEC §7.16]: per plane, horizontal 64-phase
+    8-tap upscale — one gather (precomputed clamped tap columns) + 8
+    multiply-adds.  Twin of ops.spec.superres.upscale_plane_rows."""
+    import jax.numpy as jnp
+    outs = []
+    for p, (cols, taps) in zip(planes, sr_args):
+        src = p.astype(jnp.int32)
+        g = src[:, cols.reshape(-1)].reshape(
+            (src.shape[0],) + cols.shape)               # [H, dw, 8]
+        acc = (g * taps[None, :, :]).sum(-1)
+        outs.append(jnp.clip((acc + 64) >> 7, 0, (1 << bd) - 1))
+    return outs
+
+
 @functools.partial(__import__("jax").jit, static_argnames=("cfg",))
-def _postfilter_chain(frame, base, dbl_maps, gates, cfg):
+def _postfilter_chain(frame, base, dbl_maps, gates, sr_args, lr_args,
+                      cfg):
     """Fused per-frame postfilter: plane slice -> deblock -> CDEF ->
-    narrow cast, ONE dispatch (per-dispatch RTT over the device link
-    dominates at per-frame postfilter sizes).  `base` is a traced frame
-    offset so every frame of a batch shares this program.  cfg:
-    (plane_geom, bd, sharp, damping, subx_c, suby_c, has_dbl, has_cdef,
-    need_pre, use_pallas) — all small-int statics.  Returns (final
-    planes, pre-CDEF planes or ())."""
+    superres upscale -> narrow cast, ONE dispatch (per-dispatch RTT
+    over the device link dominates at per-frame postfilter sizes).
+    `base` is a traced frame offset so every frame of a batch shares
+    this program.  cfg: (plane_geom, bd, sharp, damping, subx_c,
+    suby_c, has_dbl, has_cdef, has_sr, need_pre, use_pallas) — all
+    small-int statics.  Returns (final planes, pre-CDEF planes or
+    ()); with superres both are upscaled (LR consumes both)."""
     import jax
     import jax.numpy as jnp
     (geom, bd, sharp, damping, subx_c, suby_c,
-     has_dbl, has_cdef, need_pre, use_pallas) = cfg
+     has_dbl, has_cdef, has_sr, has_lr, need_pre, use_pallas) = cfg
     planes = []
     for (pb, ha, wa, vh, vw) in geom:
         flat = jax.lax.dynamic_slice(frame, (base + pb,), (ha * wa,))
@@ -102,14 +119,24 @@ def _postfilter_chain(frame, base, dbl_maps, gates, cfg):
         from av1dec_tpu.ops.kernels.deblock import deblock_planes
         planes = list(deblock_planes(tuple(planes), dbl_maps, sharp, bd))
     odt = jnp.uint8 if bd == 8 else jnp.uint16
-    pre = tuple(p.astype(odt) for p in planes) if need_pre else ()
+    pre = list(planes) if need_pre else None
     if has_cdef:
         from av1dec_tpu.ops.kernels import cdef as cdef_dev
         y_pri, y_sec, uv_pri, uv_sec = gates
         planes = list(cdef_dev._cdef_core(
             tuple(planes), y_pri, y_sec, uv_pri, uv_sec, bd, damping,
             subx_c, suby_c, use_pallas=use_pallas))
-    return tuple(p.astype(odt) for p in planes), pre
+    if has_sr:
+        planes = _superres_dev(planes, sr_args, bd)
+        if pre is not None:
+            pre = _superres_dev(pre, sr_args, bd)
+    if has_lr:  # all-Wiener restoration on device [SPEC §7.17.4]
+        from av1dec_tpu.ops.kernels.lr import lr_wiener_planes
+        planes = lr_wiener_planes(planes, pre, lr_args, bd)
+        pre = None  # consumed: host tail has nothing left to do
+    pre_out = tuple(p.astype(odt) for p in pre) if pre is not None \
+        else ()
+    return tuple(p.astype(odt) for p in planes), pre_out
 
 
 class DeviceRecon:
@@ -123,6 +150,8 @@ class DeviceRecon:
         self.config = config
         self.refs = refs
         self._pre_cdef_dev = None
+        self._sr_on_device = False
+        self._lr_on_device = False
         self._fr = FrameRecon(seq, hdr, plans)
         self.sch = wf.build_schedule(seq, hdr, plans,
                                      self._fr._filter_type,
@@ -344,12 +373,137 @@ class DeviceRecon:
         geom = tuple(
             (sch.plane_base[p],) + tuple(sch.alloc_dims[p]) +
             tuple(sch.valid_dims[p]) for p in range(sch.num_planes))
+        sr_dev = ()
+        has_sr = bool(self.hdr.get("use_superres"))
+        if has_sr:
+            sr_dev = tuple(
+                (jnp.asarray(c), jnp.asarray(t))
+                for c, t in self._superres_args())
+            self._sr_on_device = True
+        lr_dev = ()
+        lr_args = self._lr_wiener_args() if self._needs_pre_cdef() \
+            else None
+        has_lr = lr_args is not None
+        if has_lr:
+            lr_dev = tuple(
+                None if a is None else tuple(jnp.asarray(x) for x in a)
+                for a in lr_args)
+            self._lr_on_device = True
         cfg = (geom, sch.bd, sharp, int(damping), subx_c, suby_c,
-               maps is not None, gates is not None,
+               maps is not None, gates is not None, has_sr, has_lr,
                self._needs_pre_cdef(), use_pallas)
         final, pre = _postfilter_chain(frame, base, dbl_dev, gates_dev,
-                                       cfg)
+                                       sr_dev, lr_dev, cfg)
         return list(final), (list(pre) if pre else None)
+
+    def _lr_wiener_args(self):
+        """Host-built per-plane args for the device Wiener LR pass, or
+        None when any active unit is self-guided (host LR tail) or LR
+        is off.  Mirrors ops.spec.lr.lr_frame's unit/stripe geometry."""
+        from av1dec_tpu.ops.spec.lr import (RESTORE_NONE, RESTORE_WIENER,
+                                            _count_units)
+        hdr, sch, plans = self.hdr, self.sch, self.plans
+        lr = hdr.get("lr") or {}
+        frt = lr.get("frame_restoration_type", [0, 0, 0])
+        if not any(frt):
+            return None
+        for rec in plans.lr:
+            if int(rec[3]) not in (RESTORE_NONE, RESTORE_WIENER):
+                return None  # SGR unit: host tail handles the frame
+        units = {(int(r[0]), int(r[1]), int(r[2])): r for r in plans.lr}
+        fw = hdr.get("upscaled_width", hdr["frame_width"])
+        fh = hdr["frame_height"]
+        out = []
+        for plane in range(sch.num_planes):
+            if frt[plane] == RESTORE_NONE:
+                out.append(None)
+                continue
+            subx = sch.sub_x if plane else 0
+            suby = sch.sub_y if plane else 0
+            pw = (fw + subx) >> subx
+            ph = (fh + suby) >> suby
+            us = lr["loop_restoration_size"][plane]
+            ucols = _count_units(us, pw)
+            urows = _count_units(us, ph)
+            H = sch.valid_dims[plane][0]
+            W = ((hdr["upscaled_width"] + subx) >> subx) \
+                if hdr.get("use_superres") else sch.valid_dims[plane][1]
+            voff = 8 >> suby
+            # unit index per pixel; sentinel row/col beyond the crop
+            uy = np.full(H, urows, np.int32)
+            for ur in range(urows):
+                y0 = max(0, ur * us - voff)
+                y1 = (ur + 1) * us - voff if ur + 1 < urows else ph
+                uy[y0:min(y1, ph)] = ur
+            ux = np.full(W, ucols, np.int32)
+            for uc in range(ucols):
+                x0 = uc * us
+                x1 = (uc + 1) * us if uc + 1 < ucols else pw
+                ux[x0:min(x1, pw)] = uc
+            tv = np.zeros((urows + 1, ucols + 1, 7), np.int32)
+            th = np.zeros((urows + 1, ucols + 1, 7), np.int32)
+            act = np.zeros((urows + 1, ucols + 1), np.int32)
+            for ur in range(urows):
+                for uc in range(ucols):
+                    rec = units.get((plane, ur, uc))
+                    if rec is None or int(rec[3]) != RESTORE_WIENER:
+                        continue
+                    t_v = [int(rec[4]), int(rec[5]), int(rec[6])]
+                    t_h = [int(rec[7]), int(rec[8]), int(rec[9])]
+                    if plane:
+                        t_v[0] = 0
+                        t_h[0] = 0
+                    tv[ur, uc] = [t_v[0], t_v[1], t_v[2],
+                                  128 - 2 * sum(t_v), t_v[2], t_v[1],
+                                  t_v[0]]
+                    th[ur, uc] = [t_h[0], t_h[1], t_h[2],
+                                  128 - 2 * sum(t_h), t_h[2], t_h[1],
+                                  t_h[0]]
+                    act[ur, uc] = 1
+            # stripe-clamped vertical-tap source rows [SPEC §7.17.2]
+            y = np.arange(H)
+            yl = y << suby
+            stripe = (yl + 8) // 64
+            slo = (stripe * 64 - 8) >> suby
+            shi = ((stripe + 1) * 64 - 8 >> suby) - 1
+            vr = np.zeros((7, H), np.int32)
+            inside = np.zeros((7, H), bool)
+            for k in range(7):
+                orig = y + k - 3
+                ys = np.clip(np.clip(orig, slo - 2, shi + 2), 0, H - 1)
+                vr[k] = ys
+                inside[k] = ((orig >= slo) & (orig <= shi)) | \
+                    ((ys >= slo) & (ys <= shi))
+            out.append((uy, ux, tv, th, act, vr, inside))
+        return out
+
+    def _superres_args(self):
+        """Per-plane (cols [dw, 8] int32, taps [dw, 8] int32) for the
+        device superres gather; mirrors
+        ops.spec.superres.upscale_plane_rows' index/phase math."""
+        from av1dec_tpu.ops.spec import superres as S
+        hdr, sch = self.hdr, self.sch
+        fw, uw = hdr["frame_width"], hdr["upscaled_width"]
+        out = []
+        for p in range(sch.num_planes):
+            subx = sch.sub_x if p else 0
+            sw = (fw + subx) >> subx
+            dw = (uw + subx) >> subx
+            vw = sch.valid_dims[p][1]
+            step = ((sw << S.SCALE_BITS) + (dw >> 1)) // dw
+            err = step * dw - (sw << S.SCALE_BITS)
+            num = -((dw - sw) << (S.SCALE_BITS - 1)) + (dw >> 1)
+            x0 = -((-num) // dw) if num < 0 else num // dw
+            e2 = err // 2 if err >= 0 else -((-err) // 2)
+            x0 += (1 << (S.EXTRA_BITS - 1)) - e2
+            xs = x0 + step * np.arange(dw)
+            px = xs >> S.SCALE_BITS
+            subpel = (xs & S.SCALE_MASK) >> S.EXTRA_BITS
+            cols = np.clip(px[:, None] + np.arange(8)[None, :] - 3,
+                           0, vw - 1).astype(np.int32)
+            taps = np.asarray(S.FILTER, np.int32)[subpel]
+            out.append((cols, taps))
+        return out
 
     def _deblock_device(self, jnp, planes, maps=None):
         if maps is None:
@@ -433,13 +587,13 @@ class DeviceRecon:
         restoration [SPEC §7.16, §7.17] on fetched planes (no-op for
         the common case)."""
         hdr, seq, bd = self.hdr, self.seq, self.sch.bd
-        if hdr.get("use_superres"):
+        if hdr.get("use_superres") and not self._sr_on_device:
             from av1dec_tpu.ops.spec import superres
             planes = superres.superres_frame(planes, seq, hdr, bd)
             if pre_cdef is not None:
                 pre_cdef = superres.superres_frame(pre_cdef, seq, hdr,
                                                    bd)
-        if self._needs_pre_cdef():
+        if self._needs_pre_cdef() and not self._lr_on_device:
             from av1dec_tpu.ops.spec import lr
             lr.lr_frame(planes, pre_cdef, seq, hdr, self.plans, bd)
         return planes

@@ -100,6 +100,10 @@ SPEC_CASES = {
     "qm_444":  dict(w=96, h=96, n=1, cq=45, subsampling=(0, 0),
                     extra=[("enable-qm", "1"), ("qm-min", "2"),
                            ("qm-max", "6")]),
+    "sres":    dict(w=192, h=128, n=2, cq=45, superres_denom=12),
+    "sres_lr": dict(w=192, h=128, n=2, cq=45, cpu=3, noise=25,
+                    superres_denom=12,
+                    extra=[("enable-restoration", "1")]),
 }
 
 
@@ -122,7 +126,8 @@ def gen_spec_stream(name):
     enc = aomffi.AomEncoder(w, h, bit_depth=bd, subsampling=ss,
                             cpu_used=spec.get("cpu", 6), kf_max_dist=1,
                             lag=0, options=opts, monochrome=mono,
-                            end_usage=3)
+                            end_usage=3,
+                            superres_denom=spec.get("superres_denom"))
     hi = 1 << bd
     dt = np.uint16 if bd > 8 else np.uint8
     yy, xx = np.mgrid[:h, :w]
