@@ -124,21 +124,20 @@ def main():
         t0 = time.time()
         outs = []
         for f, dr in enumerate(drs):
-            planes = dr._slice_planes(frame, f * flat)
-            planes = dr._cdef_device(jnp, planes)
-            outs.append([p.astype(jnp.uint8) for p in planes])
+            final, _pre = dr._post_device(jnp, frame, f * flat)
+            outs.append(final)
         for planes in outs:
             for p in planes:
                 p.block_until_ready()
-        t_cdef = time.time() - t0
+        t_post = time.time() - t0
 
         t0 = time.time()
         jax.device_get(outs)
         t_fetch = time.time() - t0
-        tot = t_resc + t_resu + t_pack + t_scan + t_cdef + t_fetch
+        tot = t_resc + t_resu + t_pack + t_scan + t_post + t_fetch
         print(f"iter {it}: S={S} resC {t_resc:.2f} resU {t_resu:.2f} "
               f"pack {t_pack:.2f} scan({n_chunks}ch) {t_scan:.2f} "
-              f"cdef+slice {t_cdef:.2f} fetch {t_fetch:.2f} "
+              f"postfilter {t_post:.2f} fetch {t_fetch:.2f} "
               f"total {tot:.2f}s ({len(drs)/tot:.2f} fps)", flush=True)
 
 
