@@ -46,6 +46,10 @@ def main(argv=None):
                     help="print decode-rate summary")
     ap.add_argument("--threads", type=int, default=1,
                     help="entropy-decode worker threads (tile-parallel)")
+    ap.add_argument("--gop-workers", type=int, default=0,
+                    help="decode keyframe-delimited GOPs in N parallel "
+                         "worker processes (with elastic recovery); "
+                         "0 = serial")
     ap.add_argument("--device",
                     choices=["auto", "off", "cpu", "tpu", "gpu"],
                     default="auto",
@@ -88,35 +92,43 @@ def main(argv=None):
     y4m_f = open(args.y4m, "wb") if args.y4m else None
 
     dec = Decoder(config)
-    try:
+
+    def frame_stream():
+        if args.gop_workers > 1:
+            # GOP-parallel decode across worker processes (elastic:
+            # dead workers' GOPs are reassigned) [SURVEY §2.4, §5.3]
+            from av1dec_tpu.container import decode_gops_parallel
+            yield from decode_gops_parallel(
+                args.input, workers=args.gop_workers, config=config)
+            return
         from av1dec_tpu.container import read_temporal_units
         for _, tu in read_temporal_units(args.input):
-            for frame in dec.decode(tu):
-                raw = _plane_bytes(frame)
-                if args.frame_md5:
-                    print(f"frame {n}: "
-                          f"{hashlib.md5(raw).hexdigest()}")
-                if args.md5:
-                    total_md5.update(raw)
-                if out_f:
-                    out_f.write(raw)
-                if y4m_f:
-                    if n == 0:
-                        h, w = np.asarray(frame.planes[0]).shape
-                        cs = {(1, 1): "420jpeg", (1, 0): "422",
-                              (0, 0): "444"}[frame.subsampling]
-                        if len(frame.planes) == 1:
-                            cs = "mono"
-                        if frame.bit_depth > 8:
-                            cs += f"p{frame.bit_depth}"
-                        y4m_f.write(
-                            f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 "
-                            f"C{cs}\n".encode())
-                    y4m_f.write(b"FRAME\n")
-                    y4m_f.write(raw)
-                n += 1
-                if args.limit and n >= args.limit:
-                    break
+            yield from dec.decode(tu)
+
+    try:
+        for frame in frame_stream():
+            raw = _plane_bytes(frame)
+            if args.frame_md5:
+                print(f"frame {n}: {hashlib.md5(raw).hexdigest()}")
+            if args.md5:
+                total_md5.update(raw)
+            if out_f:
+                out_f.write(raw)
+            if y4m_f:
+                if n == 0:
+                    h, w = np.asarray(frame.planes[0]).shape
+                    cs = {(1, 1): "420jpeg", (1, 0): "422",
+                          (0, 0): "444"}[frame.subsampling]
+                    if len(frame.planes) == 1:
+                        cs = "mono"
+                    if frame.bit_depth > 8:
+                        cs += f"p{frame.bit_depth}"
+                    y4m_f.write(
+                        f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 "
+                        f"C{cs}\n".encode())
+                y4m_f.write(b"FRAME\n")
+                y4m_f.write(raw)
+            n += 1
             if args.limit and n >= args.limit:
                 break
     finally:

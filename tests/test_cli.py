@@ -29,3 +29,19 @@ def test_cli_md5_matches_oracle():
         capture_output=True, text=True, cwd=_REPO, timeout=300)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().splitlines()[-1] == expected
+
+
+def test_cli_gop_workers_matches_serial():
+    """--gop-workers N produces byte-identical output to serial CLI."""
+    import gen_inter_battery as gb
+    path = gb.gen_case("err_resilient", gb.CASES["err_resilient"],
+                       "/tmp/inter_battery")
+    outs = []
+    for extra in ([], ["--gop-workers", "2"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "av1dec_tpu", path, "--md5",
+             "--device", "off"] + extra,
+            capture_output=True, text=True, cwd=_REPO, timeout=300)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1]
