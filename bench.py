@@ -235,15 +235,20 @@ def main():
     import jax
     log(f"bench: device={jax.devices()[0]}, entropy threads={THREADS}")
 
-    # --- stage timer: entropy front-half alone
-    t0 = time.time()
-    p = NativeParser(threads=THREADS)
+    # --- stage timer: entropy front-half alone (warm pass: the first
+    # parse pays file-cache/allocator warmup that earlier rounds
+    # misread as an entropy regression)
     n = 0
-    for d in datas:
-        for _ in p.parse_tu(d, with_plans=True):
-            n += 1
+    for warm in range(2):
+        t0 = time.time()
+        p = NativeParser(threads=THREADS)
+        n = 0
+        for d in datas:
+            for _ in p.parse_tu(d, with_plans=True):
+                n += 1
     t_entropy = (time.time() - t0) / n
-    log(f"stage entropy: {t_entropy * 1000:.1f} ms/frame")
+    log(f"stage entropy: {t_entropy * 1000:.1f} ms/frame "
+        f"({THREADS} threads, warm)")
 
     # --- verification pass (untimed; also warms device compiles)
     oracle = aomffi.oracle_decode_ivf(STREAM)
